@@ -1,0 +1,185 @@
+"""Typed configuration tree shared by every pipeline stage.
+
+The reference scatters parameters across module-level CONFIG dicts, a
+dataclass, and bare constants (SURVEY.md §5.6; e.g.
+``code/Marker_Tracking/marker_detection.py:478-489``,
+``code/Marker_Calibration/3d_reconstruction.py:18-32``,
+``code/Vedio_Capture/collecting.py:27-37``). Here one frozen (hashable,
+jit-static) dataclass tree covers all stages, with per-stage sub-configs and
+JSON (de)serialization for CLI use.
+
+All defaults replicate the reference's numeric behavior; quirk fixes from
+SURVEY.md §2.2 are individually flaggable where they change outputs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class DetectProfile:
+    """Resolution-dependent detector constants.
+
+    Mirrors the two branches of ``marker_detection.py:117-126`` (<=480 rows vs
+    larger frames).
+    """
+    blur_small_ksize: int = 21
+    blur_small_sigma: float = 4.56
+    blur_large_ksize: int = 35
+    blur_large_sigma: float = 11.4
+    template_size: int = 33
+    template_sigma: float = 7.4
+    dog_threshold: int = 35          # inRange low (marker_detection.py:129)
+    dog_high: int = 180              # inRange high
+    peak_window: int = 9             # local-max suppression window (odd; ref. neighborhood 8)
+    patch_size: int = 32             # centroid/moment window around each peak
+    radial_cutoff_px: float = 15.0   # restrict moments to this radius inside patch
+
+
+# marker_detection.py:123-126,129,170: the >480-row profile.
+HIGH_RES_PROFILE = DetectProfile(
+    blur_small_ksize=39, blur_small_sigma=8.0,
+    blur_large_ksize=101, blur_large_sigma=20.0,
+    template_size=81, template_sigma=13.0,  # ref uses l=80; odd size keeps the kernel centered
+    dog_threshold=20, dog_high=200,
+    peak_window=15, patch_size=64, radial_cutoff_px=30.0,
+)
+
+
+@dataclass(frozen=True)
+class DetectConfig:
+    """2D marker detection (reference C4+C5)."""
+    low_res: DetectProfile = field(default_factory=DetectProfile)
+    high_res: DetectProfile = field(default_factory=lambda: HIGH_RES_PROFILE)
+    low_res_max_rows: int = 480      # profile switch (marker_detection.py:117)
+    dog_offset: int = 15             # "+15" bias (marker_detection.py:128)
+    ncc_threshold: float = 0.1       # NCC superlevel mask (marker_detection.py:133)
+    max_candidates: int = 96         # fixed K slots (>= 65 markers + clutter)
+    open_ksize: int = 5              # morphological open on area mask (:194-195)
+    min_minor_axis_px: float = 5.0   # minimum ellipse minor axis (:219)
+    center_match_frac: float = 10.0  # centroid-vs-ellipse gate = minor/frac (:225)
+    channel_order: str = "bgr"       # input color order when frames are 3-channel
+
+
+@dataclass(frozen=True)
+class TrackConfig:
+    """Identity assignment + frame-to-frame association (reference C6+C7)."""
+    num_rings: int = 5               # KMeans clusters (marker_detection.py:308)
+    kmeans_iters: int = 32           # fixed-iteration device KMeans
+    min_marker_distance_px: float = 20.0  # association gate (:359,372,483)
+    image_y_down: bool = True        # image CCW angles are world-CW; flip for id map
+
+
+@dataclass(frozen=True)
+class ReconstructConfig:
+    """Monocular depth-from-diameter 3D reconstruction (reference C12)."""
+    marker_diameter_mm: float = 2.0      # 3d_reconstruction.py:21
+    warmup_frames: int = 100             # :22 (frames skipped after the first seen)
+    min_marker_size_px: float = 5.0      # :23 major-axis filter
+    max_step_displacement_mm: float = 50.0  # :24 gate; ref names it *_px (quirk 8), value kept
+    undistort_iters: int = 5             # cv2.undistortPoints default iteration count
+
+
+@dataclass(frozen=True)
+class CalibrateConfig:
+    """Intrinsic (Zhang) + extrinsic (PnP) calibration (reference C10+C11)."""
+    pattern_size: Tuple[int, int] = (6, 6)   # inner corners (intrinsic_calibration.py:190)
+    square_size_mm: float = 3.0              # :191
+    min_images: int = 3                      # :92
+    refine_iters: int = 30                   # LM refinement iterations
+    ransac_iterations: int = 1000            # extrinsic_calibration.py:105
+    ransac_reproj_threshold_px: float = 8.0  # :104
+    ransac_confidence: float = 0.99          # :103
+    pnp_refine_iters: int = 20               # iterative PnP Gauss-Newton steps
+
+
+@dataclass(frozen=True)
+class AnalysisConfig:
+    """Force-distribution / pose-misalignment analysis (reference C14-C18)."""
+    deviation_scale: float = 1.0             # ForceDistribution.py:14
+    ring2_marker_ids: Tuple[int, ...] = tuple(range(8, 20))  # LocalAnalysis.py:11
+    start_frame_range: Tuple[int, int] = (1, 30)    # LocalAnalysis.py:14
+    end_frame_range: Tuple[int, int] = (120, 150)   # LocalAnalysis.py:15
+
+
+@dataclass(frozen=True)
+class CaptureConfig:
+    """Acquisition server (reference C1-C3, collecting.py:27-37)."""
+    camera_index: int = 0
+    width: int = 640
+    height: int = 480
+    fps: int = 12
+    port: int = 8081
+    skip_frames: int = 1
+    jpeg_quality: int = 70
+    led_count: int = 12
+    led_pin: int = 18
+    led_brightness: int = 20
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Whole-pipeline configuration."""
+    detect: DetectConfig = field(default_factory=DetectConfig)
+    track: TrackConfig = field(default_factory=TrackConfig)
+    reconstruct: ReconstructConfig = field(default_factory=ReconstructConfig)
+    calibrate: CalibrateConfig = field(default_factory=CalibrateConfig)
+    analysis: AnalysisConfig = field(default_factory=AnalysisConfig)
+    capture: CaptureConfig = field(default_factory=CaptureConfig)
+    crop_ratios: Tuple[float, float, float, float] = (1 / 8, 1 / 8, 1 / 16, 0.0)
+    max_markers: int = 65
+    dtype: str = "float32"
+
+    def detect_profile(self, height: int) -> DetectProfile:
+        if height <= self.detect.low_res_max_rows:
+            return self.detect.low_res
+        return self.detect.high_res
+
+
+def _to_jsonable(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {f.name: _to_jsonable(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    return obj
+
+
+def _from_jsonable(cls: type, data: Any) -> Any:
+    if dataclasses.is_dataclass(cls) and isinstance(data, dict):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in data:
+                continue
+            ftype = f.type if isinstance(f.type, type) else None
+            default = getattr(cls(), f.name) if ftype is None else None
+            val = data[f.name]
+            # Recurse into nested dataclasses based on the default instance.
+            proto = getattr(cls(), f.name)
+            if dataclasses.is_dataclass(proto):
+                kwargs[f.name] = _from_jsonable(type(proto), val)
+            elif isinstance(proto, tuple):
+                kwargs[f.name] = tuple(val)
+            else:
+                kwargs[f.name] = val
+        return cls(**kwargs)
+    return data
+
+
+def to_json(config: PipelineConfig, path: str | None = None) -> str:
+    text = json.dumps(_to_jsonable(config), indent=2)
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
+def from_json(text_or_path: str) -> PipelineConfig:
+    try:
+        data = json.loads(text_or_path)
+    except json.JSONDecodeError:
+        with open(text_or_path) as f:
+            data = json.load(f)
+    return _from_jsonable(PipelineConfig, data)
