@@ -35,6 +35,7 @@ class DetectProfile:
     dog_threshold: int = 35          # inRange low (marker_detection.py:129)
     dog_high: int = 180              # inRange high
     peak_window: int = 9             # local-max suppression window (odd; ref. neighborhood 8)
+    band_window: int = 8             # boundary-band neighborhood (marker_detection.py:170)
     patch_size: int = 32             # centroid/moment window around each peak
     radial_cutoff_px: float = 15.0   # restrict moments to this radius inside patch
 
@@ -45,7 +46,7 @@ HIGH_RES_PROFILE = DetectProfile(
     blur_large_ksize=101, blur_large_sigma=20.0,
     template_size=81, template_sigma=13.0,  # ref uses l=80; odd size keeps the kernel centered
     dog_threshold=20, dog_high=200,
-    peak_window=15, patch_size=64, radial_cutoff_px=30.0,
+    peak_window=15, band_window=14, patch_size=64, radial_cutoff_px=30.0,
 )
 
 
@@ -62,6 +63,17 @@ class DetectConfig:
     min_minor_axis_px: float = 5.0   # minimum ellipse minor axis (:219)
     center_match_frac: float = 10.0  # centroid-vs-ellipse gate = minor/frac (:225)
     channel_order: str = "bgr"       # input color order when frames are 3-channel
+    # "mask": axes from the opened DoG area mask (reference behavior — the
+    #   band-pass dilates the blob, so axes overestimate the true image
+    #   diameter exactly like the reference's fitEllipse-on-area-mask does).
+    # "photometric": axes from intensity-weighted moments of the raw gray
+    #   patch — unbiased estimate of the true projected marker diameter,
+    #   giving absolute (not just differential) depth accuracy.
+    # Defaults favor accuracy ("photometric"); switch both to the reference-
+    # parity modes ("mask"/"band") to reproduce the reference's numerics,
+    # including its biases (see tests/test_detect.py).
+    diameter_mode: str = "photometric"
+    centroid_mode: str = "photometric"  # "band" (reference parity) | "photometric"
 
 
 @dataclass(frozen=True)

@@ -116,7 +116,10 @@ def conv_same_zero(x: jnp.ndarray, kh: jnp.ndarray, kw: jnp.ndarray) -> jnp.ndar
 
 def _reduce_window_2d(x: jnp.ndarray, ksize: int, init, op) -> jnp.ndarray:
     dims = (1,) * (x.ndim - 2) + (ksize, ksize)
-    pad = [(0, 0)] * (x.ndim - 2) + [((ksize - 1) // 2, ksize // 2)] * 2
+    # Window offsets [-k//2, k//2-1] for even k, matching scipy.ndimage's
+    # footprint placement (the reference uses even neighborhoods 8/14 at
+    # marker_detection.py:170).
+    pad = [(0, 0)] * (x.ndim - 2) + [(ksize // 2, (ksize - 1) // 2)] * 2
     return jax.lax.reduce_window(x, init, op, dims, (1,) * x.ndim, pad)
 
 

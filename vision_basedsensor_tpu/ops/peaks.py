@@ -1,0 +1,64 @@
+"""Fixed-shape local-maximum peak extraction with distance suppression.
+
+Replaces the reference's ``maximum_filter``/``minimum_filter`` +
+``ndimage.label`` + ``center_of_mass`` pipeline (``marker_detection.py:166-183``)
+— whose connected-component labeling is data-dependent and TPU-hostile —
+with: window local-max test on the smooth NCC field, ``top_k`` extraction
+into a fixed candidate budget, and an O(K^2) greedy distance suppression to
+collapse plateau ties. Sub-pixel refinement happens downstream on mask
+centroids (ops/patches.py), mirroring the reference's mask center-of-mass.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu.core.imaging import max_filter
+
+
+class Peaks(NamedTuple):
+    xy: jnp.ndarray     # (..., K, 2) integer pixel coords (x, y) as float32
+    score: jnp.ndarray  # (..., K)
+    valid: jnp.ndarray  # (..., K) bool
+
+
+def _suppress(xy: jnp.ndarray, score: jnp.ndarray, valid: jnp.ndarray,
+              min_distance: float) -> jnp.ndarray:
+    """Drop peaks within ``min_distance`` of a stronger (earlier-ranked) peak."""
+    d2 = jnp.sum((xy[:, None, :] - xy[None, :, :]) ** 2, axis=-1)
+    k = score.shape[0]
+    rank = jnp.arange(k)
+    # top_k output is sorted desc, ties broken by index, so earlier == stronger.
+    stronger = rank[None, :] < rank[:, None]
+    near = d2 < min_distance**2
+    killed = jnp.any(stronger & near & valid[None, :], axis=1)
+    return valid & ~killed
+
+
+def find_peaks(score: jnp.ndarray, threshold: float, window: int,
+               max_peaks: int, min_distance: float) -> Peaks:
+    """Extract up to ``max_peaks`` local maxima of ``score`` ``(..., H, W)``.
+
+    A pixel is a candidate when it equals the ``window``-sized local maximum
+    and exceeds ``threshold``; candidates are ranked by score and deduplicated
+    within ``min_distance`` pixels (plateaus of the thresholded NCC field
+    otherwise produce several adjacent candidates where the reference's
+    labeling produced one component).
+    """
+    h, w = score.shape[-2:]
+    local_max = max_filter(score, window)
+    is_peak = (score >= local_max) & (score > threshold)
+    flat = jnp.where(is_peak, score, -jnp.inf).reshape(score.shape[:-2] + (h * w,))
+    vals, idx = jax.lax.top_k(flat, max_peaks)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    xy = jnp.stack([xs, ys], axis=-1)
+    valid = jnp.isfinite(vals)
+
+    sup = _suppress
+    for _ in range(score.ndim - 2):
+        sup = jax.vmap(sup, in_axes=(0, 0, 0, None))
+    valid = sup(xy, vals, valid, min_distance)
+    return Peaks(xy=xy, score=jnp.where(valid, vals, 0.0), valid=valid)

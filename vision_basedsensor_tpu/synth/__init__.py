@@ -1,0 +1,10 @@
+from vision_basedsensor_tpu.synth.render import (
+    DomeScene,
+    default_scene,
+    render_frames,
+    indentation_staircase,
+    tilt_deviation_field,
+)
+
+__all__ = ["DomeScene", "default_scene", "render_frames",
+           "indentation_staircase", "tilt_deviation_field"]

@@ -1,0 +1,142 @@
+"""Synthetic dome renderer: the framework's test backbone.
+
+The reference has no automated tests; its quality assurance is physical
+experiments (SURVEY.md §4) — a 12x0.7 mm probe-indentation staircase
+(README.md:103-121) and a 15 deg tilted-compression pose (README.md:146).
+This module turns those experiments into synthetic fixtures: it renders the
+known 65-marker dome (layout.py) through the full pinhole+distortion camera
+model with prescribed per-marker world displacements, giving exact ground
+truth for centroids, diameters, 3D displacement fields, and tilt angles.
+
+Rendering is pure JAX: each marker disk is projected through the camera's
+local Jacobian into an image-plane ellipse and rasterized with ~1 px
+anti-aliased edges; per-pixel cost is a masked min over 65 markers, which
+XLA fuses into a single elementwise pass.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_basedsensor_tpu import layout
+from vision_basedsensor_tpu.core import camera as cam_mod
+from vision_basedsensor_tpu.core.camera import CameraModel
+
+
+class DomeScene(NamedTuple):
+    cam: CameraModel
+    marker_world: jnp.ndarray   # (65, 3) rest positions, mm
+    marker_radius_mm: float
+    background: float           # gray level of the bonnet surface
+    marker_level: float         # gray level inside markers
+    height: int
+    width: int
+
+
+def default_scene(height: int = 480, width: int = 640,
+                  camera_z_mm: float = -40.0,
+                  dist: np.ndarray | None = None) -> DomeScene:
+    """Camera under the dome apex looking up (+Z), dome at the origin.
+
+    Mirrors the physical arrangement: endoscopic camera inside the bonnet
+    tool viewing the marker-printed inner surface (README.md:7).
+    """
+    f = 0.625 * width  # outer ring (r=16.29 @ depth ~45) stays inside the frame
+    cam = CameraModel.create(
+        fx=f, fy=f, cx=width / 2, cy=height / 2,
+        dist=np.zeros(5) if dist is None else dist,
+        R_wc=np.eye(3), T_wc=np.array([0.0, 0.0, -camera_z_mm]),
+    )
+    table = layout.dome_layout()
+    return DomeScene(
+        cam=cam,
+        marker_world=jnp.asarray(table[:, 1:], jnp.float32),
+        marker_radius_mm=layout.MARKER_DIAMETER_MM / 2,
+        background=190.0,
+        marker_level=40.0,
+        height=height,
+        width=width,
+    )
+
+
+def _projection_jacobian(cam: CameraModel, p_world: jnp.ndarray) -> jnp.ndarray:
+    """d(pixel)/d(world) ``(..., 2, 3)`` at the given world points."""
+    def proj(p):
+        return cam_mod.project_points(cam, p)
+    flat = p_world.reshape(-1, 3)
+    J = jax.vmap(jax.jacfwd(proj))(flat)
+    return J.reshape(p_world.shape[:-1] + (2, 3))
+
+
+def render_frames(scene: DomeScene, displacements: jnp.ndarray,
+                  marker_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Render frames for per-marker world displacements ``(B, 65, 3)`` (mm).
+
+    Each marker is a disk of radius ``marker_radius_mm`` tangent to the dome
+    (approximated as facing the camera, valid for the shallow cap). Returns
+    float frames ``(B, H, W)`` in 0..255.
+    """
+    if displacements.ndim == 2:
+        displacements = displacements[None]
+    B = displacements.shape[0]
+    pos = scene.marker_world[None] + displacements  # (B, 65, 3)
+
+    uv = cam_mod.project_points(scene.cam, pos)                 # (B, 65, 2)
+    J = _projection_jacobian(scene.cam, pos)                    # (B, 65, 2, 3)
+    # Image of the marker disk: ellipse with shape matrix M = (r^2 J J^T)^-1.
+    JJt = jnp.einsum("...ij,...kj->...ik", J, J) * scene.marker_radius_mm**2
+    Minv = jnp.linalg.inv(JJt + 1e-9 * jnp.eye(2))              # (B, 65, 2, 2)
+    # Effective pixel radius (geometric mean) for anti-aliasing width.
+    r_px = jnp.sqrt(jnp.sqrt(jnp.linalg.det(JJt)))
+
+    ys = jnp.arange(scene.height, dtype=jnp.float32)
+    xs = jnp.arange(scene.width, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)                               # (H, W)
+
+    if marker_mask is None:
+        marker_mask = jnp.ones((pos.shape[1],), bool)
+
+    def frame(uv_f, Minv_f, r_f):
+        def marker_alpha(c, M, r, on):
+            d = jnp.stack([gx - c[0], gy - c[1]], axis=-1)      # (H, W, 2)
+            m = jnp.einsum("hwi,ij,hwj->hw", d, M, d)
+            # Signed distance to the ellipse boundary in px ~ (sqrt(m)-1)*r.
+            sd = (jnp.sqrt(jnp.maximum(m, 1e-12)) - 1.0) * r
+            alpha = jnp.clip(0.5 - sd, 0.0, 1.0)
+            return jnp.where(on, alpha, 0.0)
+        alphas = jax.vmap(marker_alpha)(uv_f, Minv_f, r_f, marker_mask)
+        cover = jnp.clip(alphas.sum(0), 0.0, 1.0)
+        return scene.background + cover * (scene.marker_level - scene.background)
+
+    img = jax.vmap(frame)(uv, Minv, r_px)
+    return jnp.clip(jnp.floor(img + 0.5), 0.0, 255.0)
+
+
+def indentation_staircase(num_steps: int = 12, step_mm: float = 0.7,
+                          frames_per_step: int = 1) -> jnp.ndarray:
+    """World displacement sequence replicating the probe-indentation
+    experiment (README.md:103-121): every marker translates by k * step_mm
+    along -Z at step k. Returns ``(num_steps*frames_per_step + 1, 65, 3)``
+    including the rest frame."""
+    steps = jnp.arange(num_steps + 1, dtype=jnp.float32) * step_mm
+    steps = jnp.repeat(steps, jnp.where(jnp.arange(num_steps + 1) == 0, 1, frames_per_step),
+                       total_repeat_length=1 + num_steps * frames_per_step)
+    d = jnp.zeros((steps.shape[0], layout.NUM_MARKERS, 3), jnp.float32)
+    return d.at[:, :, 2].set(-steps[:, None])
+
+
+def tilt_deviation_field(tilt_deg: float, axis: str = "y",
+                         compression_mm: float = 1.0) -> jnp.ndarray:
+    """Displacement field of a tilted compression: each marker moves along -Z
+    by ``compression + tan(tilt) * coordinate`` — so the deviation field's
+    fitted contact plane has exactly ``tilt_deg`` tilt
+    (ForceDistribution.py:138-162 semantics). Returns ``(65, 3)``."""
+    table = layout.dome_layout()
+    coord = table[:, 1] if axis == "y" else table[:, 2]
+    dz = -(compression_mm + np.tan(np.deg2rad(tilt_deg)) * coord)
+    d = np.zeros((layout.NUM_MARKERS, 3), np.float32)
+    d[:, 2] = dz
+    return jnp.asarray(d)
