@@ -1,0 +1,112 @@
+"""Identity assignment + association on synthetic dome detections."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu import layout
+from vision_basedsensor_tpu.config import DetectConfig, TrackConfig
+from vision_basedsensor_tpu.core import camera as cam_mod
+from vision_basedsensor_tpu.detect import detect_markers
+from vision_basedsensor_tpu.synth import default_scene, render_frames
+from vision_basedsensor_tpu.track import assign_identities, associate, kmeans_1d
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return default_scene(height=480, width=640)
+
+
+@pytest.fixture(scope="module")
+def rest_det(scene):
+    frame = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))
+    return detect_markers(frame[0], DetectConfig())
+
+
+def test_kmeans_1d_separates_rings(rng):
+    radii = np.concatenate([rng.normal(35, 0.5, 6), rng.normal(62, 0.5, 12),
+                            rng.normal(92, 0.5, 18), rng.normal(120, 0.5, 24),
+                            rng.normal(143, 0.5, 4)])
+    mask = np.ones(len(radii), bool)
+    cents, labels = kmeans_1d(jnp.asarray(radii), jnp.asarray(mask), 5, 32)
+    cents = np.asarray(cents)
+    np.testing.assert_allclose(cents, [35, 62, 92, 120, 143], atol=1.0)
+    expected = np.repeat([0, 1, 2, 3, 4], [6, 12, 18, 24, 4])
+    np.testing.assert_array_equal(np.asarray(labels), expected)
+
+
+def test_kmeans_respects_mask(rng):
+    vals = np.concatenate([rng.normal(10, 0.1, 20), np.full(10, 1e6)])
+    mask = np.arange(30) < 20
+    cents, _ = kmeans_1d(jnp.asarray(vals), jnp.asarray(mask), 2, 16)
+    assert np.asarray(cents).max() < 100  # junk never pollutes centroids
+
+
+def test_assign_identities_all_65(scene, rest_det):
+    ref = assign_identities(rest_det, TrackConfig())
+    valid = np.asarray(ref.valid)
+    assert valid.sum() == 65, f"assigned {valid.sum()}"
+
+    # Every canonical slot must hold the detection nearest its true
+    # projected position.
+    truth = np.asarray(cam_mod.project_points(scene.cam, scene.marker_world))
+    xy = np.asarray(ref.xy)
+    err = np.linalg.norm(xy - truth, axis=1)
+    assert err.max() < 0.5, f"worst id-position error {err.max():.3f} px"
+
+    rings = np.asarray(ref.ring)
+    np.testing.assert_array_equal(rings, layout.marker_rings())
+
+
+def test_assign_identities_with_clutter(scene, rest_det):
+    """Injected clutter detections must not steal canonical slots."""
+    det = rest_det
+    xy = np.asarray(det.xy).copy()
+    valid = np.asarray(det.valid).copy()
+    score = np.asarray(det.score).copy()
+    # Add 3 fake low-score detections in free slots, far from real markers.
+    free = np.where(~valid)[0][:3]
+    xy[free] = [[30.0, 30.0], [600.0, 30.0], [30.0, 440.0]]
+    valid[free] = True
+    score[free] = 0.11
+    det2 = det._replace(xy=jnp.asarray(xy), valid=jnp.asarray(valid),
+                        score=jnp.asarray(score))
+    ref = assign_identities(det2, TrackConfig())
+    truth = np.asarray(cam_mod.project_points(scene.cam, scene.marker_world))
+    err = np.linalg.norm(np.asarray(ref.xy) - truth, axis=1)
+    # Real markers all win their slots (higher score wins collisions).
+    assert err.max() < 0.5
+
+
+def test_associate_under_translation(scene, rest_det):
+    ref = assign_identities(rest_det, TrackConfig())
+    shift = jnp.zeros((1, 65, 3), jnp.float32) + jnp.asarray([0.3, -0.2, -0.4])
+    frame = render_frames(scene, shift)
+    det1 = detect_markers(frame, DetectConfig())
+    tracked = associate(ref, det1, TrackConfig().min_marker_distance_px)
+    valid = np.asarray(tracked.valid)[0]
+    assert valid.sum() == 65
+
+    truth = np.asarray(cam_mod.project_points(
+        scene.cam, scene.marker_world + jnp.asarray([0.3, -0.2, -0.4])))
+    err = np.linalg.norm(np.asarray(tracked.xy)[0] - truth, axis=1)
+    assert err.max() < 0.1
+
+
+def test_associate_gate_drops_far_markers(rest_det):
+    ref = assign_identities(rest_det, TrackConfig())
+    # Empty detection set: nothing within the gate.
+    empty = rest_det._replace(valid=jnp.zeros_like(rest_det.valid))
+    tracked = associate(ref, empty, 20.0)
+    assert not bool(np.asarray(tracked.valid).any())
+
+
+def test_associate_batched(scene, rest_det):
+    ref = assign_identities(rest_det, TrackConfig())
+    d = jnp.zeros((3, 65, 3), jnp.float32)
+    d = d.at[1, :, 2].add(-0.3).at[2, :, 2].add(-0.6)
+    frames = render_frames(default_scene(480, 640), d)
+    det = detect_markers(frames, DetectConfig())
+    tracked = associate(ref, det, 20.0)
+    assert tracked.xy.shape == (3, 65, 2)
+    assert np.asarray(tracked.valid).all()

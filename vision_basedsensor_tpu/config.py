@@ -82,7 +82,23 @@ class TrackConfig:
     num_rings: int = 5               # KMeans clusters (marker_detection.py:308)
     kmeans_iters: int = 32           # fixed-iteration device KMeans
     min_marker_distance_px: float = 20.0  # association gate (:359,372,483)
-    image_y_down: bool = True        # image CCW angles are world-CW; flip for id map
+    # Mapping from measured image angles to dome-layout angles for the id
+    # bijection: world_angle = angle_sign * image_angle + angle_offset_deg.
+    # With the canonical mounting (camera under the apex, R_wc ~ I) image and
+    # layout angles coincide; a mirrored view needs angle_sign = -1 and a
+    # camera roll needs a nonzero offset.
+    angle_sign: float = 1.0
+    angle_offset_deg: float = 0.0
+    # Ring assignment method:
+    #   "layout_prior" (default): consensus-scale match against the known
+    #     dome ring radii — robust to clutter detections and unbalanced ring
+    #     populations; rejects detections off the dome entirely.
+    #   "kmeans": radius clustering like the reference (marker_detection.py:308)
+    #     — no layout knowledge, fragile to clutter.
+    ring_method: str = "layout_prior"
+    ring_tolerance: float = 0.06          # residual gate, fraction of outer radius
+    camera_distance_hint_mm: float = 40.0  # nominal camera-to-apex distance for
+    # perspective-corrected expected ring radii (exact value uncritical).
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,5 @@
+from vision_basedsensor_tpu.track.rings import ReferenceMarkers, assign_identities, kmeans_1d
+from vision_basedsensor_tpu.track.associate import TrackedFrames, associate
+
+__all__ = ["ReferenceMarkers", "assign_identities", "kmeans_1d",
+           "TrackedFrames", "associate"]

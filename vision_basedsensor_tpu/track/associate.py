@@ -1,0 +1,60 @@
+"""Frame-to-frame marker association (reference C7), batched over frames.
+
+The reference matches every frame-0 marker to its nearest detection via
+``scipy.spatial.distance.cdist`` + argmin with a 20 px gate, independently
+per frame (``marker_detection.py:349-396``). That independence means the
+whole video associates in one batched ``(B, 65, K)`` distance computation —
+no sequential loop at all; only the 3D stage's last-sighting recurrence needs
+a scan (reconstruct/displacement.py).
+
+As in the reference, association is not one-to-one: several reference
+markers may claim the same detection (it simply takes each row's argmin).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu.detect.detector import Detections
+from vision_basedsensor_tpu.track.rings import ReferenceMarkers
+
+
+class TrackedFrames(NamedTuple):
+    """Per-frame state of the 65 canonical markers (leading frame axes)."""
+    xy: jnp.ndarray      # (..., 65, 2) current centers
+    ref_xy: jnp.ndarray  # (65, 2) frame-0 centers (Ox, Oy columns of the CSV)
+    axes: jnp.ndarray    # (..., 65, 2)
+    angle: jnp.ndarray   # (..., 65)
+    ring: jnp.ndarray    # (65,)
+    valid: jnp.ndarray   # (..., 65)
+
+
+def associate(ref: ReferenceMarkers, det: Detections,
+              gate_px: float) -> TrackedFrames:
+    """Nearest-detection association with a distance gate.
+
+    ``det`` may carry arbitrary leading frame axes; ``ref`` is the frame-0
+    table. A marker is valid in a frame when the reference slot is occupied
+    and its nearest valid detection is within ``gate_px``
+    (``min_marker_distance``, marker_detection.py:359-372).
+    """
+    d = jnp.linalg.norm(ref.xy[:, None, :] - det.xy[..., None, :, :], axis=-1)
+    d = jnp.where(det.valid[..., None, :], d, jnp.inf)  # (..., 65, K)
+    j = jnp.argmin(d, axis=-1)                           # (..., 65)
+    dmin = jnp.min(d, axis=-1)
+    valid = ref.valid & (dmin <= gate_px)
+
+    xy = jnp.take_along_axis(det.xy, j[..., None].repeat(2, -1), axis=-2)
+    axes = jnp.take_along_axis(det.axes, j[..., None].repeat(2, -1), axis=-2)
+    angle = jnp.take_along_axis(det.angle, j, axis=-1)
+
+    vz = valid[..., None]
+    return TrackedFrames(
+        xy=jnp.where(vz, xy, 0.0),
+        ref_xy=ref.xy,
+        axes=jnp.where(vz, axes, 0.0),
+        angle=jnp.where(valid, angle, 0.0),
+        ring=ref.ring,
+        valid=valid,
+    )
