@@ -1,0 +1,61 @@
+"""End-to-end throughput benchmark on real hardware.
+
+Measures the flagship path — batched frames -> detection -> association ->
+3D displacement field (the full marker->force+pose perception step) — in
+frames/sec on a single chip, against the north-star target of 1000 fps
+(BASELINE.json; the reference itself publishes no throughput and its capture
+path runs at 12 fps on a Raspberry Pi).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is fps / 1000 (ratio to the north-star target).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vision_basedsensor_tpu.config import PipelineConfig, ReconstructConfig
+    from vision_basedsensor_tpu.pipeline import initialize, process_frames
+    from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    cfg = PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))
+    scene = default_scene(height=480, width=640)
+
+    # Render a realistic moving sequence once (not timed).
+    d = jnp.zeros((batch, 65, 3), jnp.float32)
+    d = d.at[:, :, 2].add(-0.002 * jnp.arange(batch)[:, None])
+    frames = render_frames(scene, d)
+    frames = jax.block_until_ready(frames)
+    ref = initialize(frames[0], cfg)
+
+    fwd = jax.jit(lambda f, r: process_frames(f, r, scene.cam, cfg))
+    out = jax.block_until_ready(fwd(frames, ref))  # compile
+    for _ in range(2):  # warm
+        out = jax.block_until_ready(fwd(frames, ref))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(frames, ref)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "marker_to_pose_pipeline_fps_single_chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec (640x480)",
+        "vs_baseline": round(fps / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Contact-state analysis: tilt recovery, deviation field, statistics."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu import layout
+from vision_basedsensor_tpu.analysis import (
+    analyze_deviation,
+    deviation_field,
+    displacement_statistics,
+    start_end_displacement,
+)
+from vision_basedsensor_tpu.config import (
+    AnalysisConfig,
+    PipelineConfig,
+    ReconstructConfig,
+)
+from vision_basedsensor_tpu.pipeline import run_video
+from vision_basedsensor_tpu.synth import (
+    default_scene,
+    render_frames,
+    tilt_deviation_field,
+)
+
+
+def _cfg():
+    return PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))
+
+
+def test_analytic_tilt_recovery():
+    """Pure-math check: a 15 deg deviation field fits to exactly 15 deg."""
+    dev = np.asarray(tilt_deviation_field(15.0, compression_mm=0.0))
+    # Remove the uniform compression component: deviation = d_tilt - d_vert.
+    valid = jnp.ones(65, bool)
+    res = analyze_deviation(jnp.asarray(dev), valid, AnalysisConfig())
+    np.testing.assert_allclose(float(res.tilt_deg), 15.0, atol=1e-3)
+
+
+def test_end_to_end_tilt_recovery():
+    """Full pipeline on rendered vertical + tilted compression sequences:
+    recovered pose misalignment within 0.5 deg of the applied 15 deg
+    (reference pose, README.md:146)."""
+    scene = default_scene(480, 640)
+    zero = jnp.zeros((65, 3), jnp.float32)
+    d_vert_true = jnp.asarray([0.0, 0.0, -1.0]) + zero
+    d_tilt_true = tilt_deviation_field(15.0, compression_mm=1.0)
+
+    cfg = _cfg()
+    frames_v = render_frames(scene, jnp.stack([zero, d_vert_true]))
+    frames_t = render_frames(scene, jnp.stack([zero, d_tilt_true]))
+    out_v = run_video(frames_v, scene.cam, cfg, apply_warmup=False)
+    out_t = run_video(frames_t, scene.cam, cfg, apply_warmup=False)
+
+    d_vert, ok_v = start_end_displacement(out_v.recon, (0, 0), (1, 1))
+    d_tilt, ok_t = start_end_displacement(out_t.recon, (0, 0), (1, 1))
+    dev, ok = deviation_field(d_vert, ok_v, d_tilt, ok_t)
+    assert np.asarray(ok).sum() >= 60
+
+    res = analyze_deviation(dev, ok, AnalysisConfig())
+    assert abs(float(res.tilt_deg) - 15.0) < 0.5, float(res.tilt_deg)
+    # Mean deviation magnitude ~ mean |tan(15) * X| over markers.
+    expected_mag = float(np.mean(np.abs(np.tan(np.deg2rad(15.0))
+                                        * layout.dome_layout()[:, 1])))
+    assert abs(float(res.mean_magnitude) - expected_mag) / expected_mag < 0.15
+
+
+def test_ring_local_analysis():
+    """Ring-2 averaged displacement (LocalAnalysis semantics): uniform -1 mm
+    Z compression reads back as ~1 mm mean displacement."""
+    scene = default_scene(480, 640)
+    zero = jnp.zeros((65, 3), jnp.float32)
+    dz = jnp.asarray([0.0, 0.0, -1.0]) + zero
+    frames = render_frames(scene, jnp.stack([zero, zero, dz, dz]))
+    out = run_video(frames, scene.cam, _cfg(), apply_warmup=False)
+
+    d, ok = start_end_displacement(out.recon, (0, 1), (2, 3))
+    ring2 = np.asarray(AnalysisConfig().ring2_marker_ids) - 1
+    mags = np.linalg.norm(np.asarray(d)[ring2], axis=1)
+    assert np.asarray(ok)[ring2].all()
+    np.testing.assert_allclose(mags.mean(), 1.0, atol=0.1)
+
+
+def test_displacement_statistics():
+    world = np.zeros((4, 65, 3), np.float32)
+    world[:, :, 2] = np.arange(4)[:, None] * 0.5
+    seen = np.ones((4, 65), bool)
+    from vision_basedsensor_tpu.reconstruct import displacement_scan
+    r = displacement_scan(jnp.asarray(world), jnp.asarray(seen),
+                          ReconstructConfig(warmup_frames=0))
+    stats = displacement_statistics(r)
+    np.testing.assert_allclose(np.asarray(stats.mean), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats.final_cumulative), 1.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats.std), 0.0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(stats.count), 3)

@@ -36,8 +36,11 @@ class DetectProfile:
     dog_high: int = 180              # inRange high
     peak_window: int = 9             # local-max suppression window (odd; ref. neighborhood 8)
     band_window: int = 8             # boundary-band neighborhood (marker_detection.py:170)
-    patch_size: int = 32             # centroid/moment window around each peak
-    radial_cutoff_px: float = 15.0   # restrict moments to this radius inside patch
+    patch_size: int = 40             # centroid/moment window around each peak
+    radial_cutoff_px: float = 18.0   # restrict moments to this radius inside patch
+    # (the Voronoi gate handles closer neighbors; the cutoff only needs to
+    # bound the region inside the patch, with headroom for blobs growing as
+    # the bonnet compresses toward the camera)
 
 
 # marker_detection.py:123-126,129,170: the >480-row profile.
@@ -95,6 +98,11 @@ class TrackConfig:
     #     populations; rejects detections off the dome entirely.
     #   "kmeans": radius clustering like the reference (marker_detection.py:308)
     #     — no layout knowledge, fragile to clutter.
+    # Association target: "frame0" replicates the reference (gate against
+    # frame-0 positions, marker_detection.py:363); "sequential" gates against
+    # each marker's last sighting via lax.scan — robust to cumulative drift
+    # beyond the gate (e.g. deep indentation), detection stays batched.
+    association_mode: str = "frame0"
     ring_method: str = "layout_prior"
     ring_tolerance: float = 0.06          # residual gate, fraction of outer radius
     camera_distance_hint_mm: float = 40.0  # nominal camera-to-apex distance for

@@ -1,0 +1,43 @@
+"""Batched monocular 3D reconstruction (reference C12 hot loop).
+
+The reference computes 3D positions with a doubly-nested Python loop —
+``groupby(frame) x iterrows(marker)`` with two scalar ``_calculate_3d_position``
+calls per observation (``3d_reconstruction.py:263-314``, SURVEY.md §3.4).
+Here the whole video is one tensor op: undistort ``(B, 65, 2)`` points, then
+depth-from-diameter back-projection, all on the MXU/VPU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu.config import ReconstructConfig
+from vision_basedsensor_tpu.core import camera as cam_mod
+from vision_basedsensor_tpu.core.camera import CameraModel
+
+
+def reconstruct_positions(cam: CameraModel, uv: jnp.ndarray,
+                          diameter_px: jnp.ndarray, valid: jnp.ndarray,
+                          cfg: ReconstructConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pixel observations -> world positions.
+
+    Args:
+      uv: ``(..., 2)`` distorted pixel centers (Cx, Cy).
+      diameter_px: ``(...,)`` observed major axes.
+      valid: ``(...,)`` observation mask.
+
+    Applies the reference's gates: markers smaller than
+    ``min_marker_size_px`` are dropped (``3d_reconstruction.py:173-176``),
+    positions must be finite (:231-232), markers too close to the principal
+    point are rejected (:216-217).
+
+    Returns (world positions ``(..., 3)``, updated validity).
+    """
+    uv_u = cam_mod.undistort_points(cam, uv, iters=cfg.undistort_iters)
+    du = uv_u[..., 0] - cam.cx
+    dv = uv_u[..., 1] - cam.cy
+    r2 = du * du + dv * dv
+    ok = valid & (diameter_px >= cfg.min_marker_size_px) & (r2 >= 1e-12)
+    world = cam_mod.backproject_depth_from_diameter(
+        cam, uv_u, diameter_px, cfg.marker_diameter_mm)
+    ok = ok & jnp.all(jnp.isfinite(world), axis=-1)
+    return jnp.where(ok[..., None], world, 0.0), ok

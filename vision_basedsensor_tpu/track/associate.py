@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from vision_basedsensor_tpu.detect.detector import Detections
@@ -58,3 +59,34 @@ def associate(ref: ReferenceMarkers, det: Detections,
         ring=ref.ring,
         valid=valid,
     )
+
+
+def associate_sequential(ref: ReferenceMarkers, det: Detections,
+                         gate_px: float) -> TrackedFrames:
+    """Association against each marker's *last sighting* instead of frame 0.
+
+    The reference always gates against frame-0 positions (20 px,
+    marker_detection.py:363-372), which fails once cumulative deformation
+    moves a marker further than the gate in the image — e.g. deep
+    indentations. This mode carries last-seen positions through a
+    ``lax.scan`` over frames: detection stays fully batched; only the tiny
+    (65 x K) matching runs serially. ``det`` must have exactly one leading
+    frame axis.
+    """
+    def step(carry_xy, det_t):
+        d = jnp.linalg.norm(carry_xy[:, None, :] - det_t.xy[None, :, :], axis=-1)
+        d = jnp.where(det_t.valid[None, :], d, jnp.inf)
+        j = jnp.argmin(d, axis=-1)
+        dmin = jnp.min(d, axis=-1)
+        valid = ref.valid & (dmin <= gate_px)
+        xy = det_t.xy[j]
+        new_carry = jnp.where(valid[:, None], xy, carry_xy)
+        out = (jnp.where(valid[:, None], xy, 0.0),
+               jnp.where(valid[:, None], det_t.axes[j], 0.0),
+               jnp.where(valid, det_t.angle[j], 0.0),
+               valid)
+        return new_carry, out
+
+    _, (xy, axes, angle, valid) = jax.lax.scan(step, ref.xy, det)
+    return TrackedFrames(xy=xy, ref_xy=ref.xy, axes=axes, angle=angle,
+                         ring=ref.ring, valid=valid)
