@@ -1,0 +1,166 @@
+"""Calibration: homography, Zhang intrinsics, RANSAC PnP, artifacts."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu.calibrate import (
+    CalibrationArtifact,
+    calibrate_intrinsics,
+    fit_homography,
+    solve_pnp_ransac,
+)
+from vision_basedsensor_tpu.config import CalibrateConfig
+from vision_basedsensor_tpu.core import camera as cam_mod
+from vision_basedsensor_tpu.core.camera import CameraModel
+from vision_basedsensor_tpu.core.transforms import rodrigues
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _board(pattern=(6, 6), square=3.0):
+    """Planar board points like intrinsic_calibration.py:58-59."""
+    xs, ys = np.meshgrid(np.arange(pattern[0]), np.arange(pattern[1]))
+    pts = np.stack([xs.ravel(), ys.ravel(), np.zeros(xs.size)], -1) * square
+    return pts.astype(np.float64)
+
+
+def _views(n_views=8, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    K = np.array([[620.0, 0, 310.0], [0, 600.0, 245.0], [0, 0, 1]])
+    dist = np.array([-0.15, 0.07, 0.0008, -0.0006, 0.02])
+    cam = CameraModel.create(K[0, 0], K[1, 1], K[0, 2], K[1, 2], 0.0, dist,
+                             dtype=jnp.float64)
+    obj = _board()
+    objs, imgs = [], []
+    for _ in range(n_views):
+        rvec = rng.uniform(-0.35, 0.35, 3)
+        tvec = np.array([rng.uniform(-8, 2), rng.uniform(-8, 2), rng.uniform(45, 75)])
+        c = cam._replace(R_wc=rodrigues(jnp.asarray(rvec)), T_wc=jnp.asarray(tvec))
+        uv = np.array(cam_mod.project_points(c, jnp.asarray(obj)))
+        uv += rng.normal(0, noise, uv.shape)
+        objs.append(obj)
+        imgs.append(uv)
+    return np.stack(objs), np.stack(imgs), K, dist
+
+
+def test_fit_homography_exact(rng):
+    H_true = np.array([[1.2, 0.1, 30.0], [-0.05, 0.9, -12.0], [1e-4, -2e-4, 1.0]])
+    src = rng.uniform(0, 100, (40, 2))
+    ones = np.ones((40, 1))
+    dst_h = np.hstack([src, ones]) @ H_true.T
+    dst = dst_h[:, :2] / dst_h[:, 2:]
+    H = np.asarray(fit_homography(jnp.asarray(src), jnp.asarray(dst)))
+    np.testing.assert_allclose(H, H_true / H_true[2, 2], atol=1e-6)
+
+
+def test_zhang_recovers_intrinsics_noiseless():
+    objs, imgs, K, dist = _views(noise=0.0)
+    res = calibrate_intrinsics(objs, imgs, refine_iters=20)
+    assert abs(float(res.cam.fx) - K[0, 0]) < 0.1
+    assert abs(float(res.cam.fy) - K[1, 1]) < 0.1
+    assert abs(float(res.cam.cx) - K[0, 2]) < 0.1
+    assert abs(float(res.cam.cy) - K[1, 2]) < 0.1
+    np.testing.assert_allclose(np.asarray(res.cam.dist), dist, atol=1e-3)
+    assert float(res.mean_reproj_error) < 1e-3
+
+
+def test_zhang_matches_cv2_with_noise():
+    objs, imgs, K, dist = _views(noise=0.15, seed=3)
+    res = calibrate_intrinsics(objs, imgs, refine_iters=25)
+
+    ret, mtx, dist_cv, _, _ = cv2.calibrateCamera(
+        [o.astype(np.float32) for o in objs],
+        [i.astype(np.float32).reshape(-1, 1, 2) for i in imgs],
+        (640, 480), None, None)
+    # Both estimators see the same noisy data; they must agree closely.
+    assert abs(float(res.cam.fx) - mtx[0, 0]) < 1.5
+    assert abs(float(res.cam.fy) - mtx[1, 1]) < 1.5
+    assert abs(float(res.cam.cx) - mtx[0, 2]) < 1.5
+    assert abs(float(res.cam.cy) - mtx[1, 2]) < 1.5
+    assert abs(float(res.mean_reproj_error) - ret) < 0.05
+
+
+def test_pnp_ransac_with_outliers(rng):
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1]])
+    dist = np.array([-0.1, 0.03, 0.0005, -0.0002, 0.0])
+    cam = CameraModel.create(600.0, 600.0, 320.0, 240.0, 0.0, dist, dtype=jnp.float64)
+    rvec_true = np.array([0.2, -0.1, 0.05])
+    t_true = np.array([1.5, -2.0, 70.0])
+    c_true = cam._replace(R_wc=rodrigues(jnp.asarray(rvec_true)), T_wc=jnp.asarray(t_true))
+
+    obj = rng.uniform(-16, 16, (65, 3))
+    obj[:, 2] = rng.uniform(0, 6, 65)
+    img = np.array(cam_mod.project_points(c_true, jnp.asarray(obj)))
+    img += rng.normal(0, 0.3, img.shape)
+    # 15% gross outliers.
+    out_idx = rng.choice(65, 10, replace=False)
+    img[out_idx] += rng.uniform(30, 90, (10, 2))
+
+    res = solve_pnp_ransac(obj, img, cam, CalibrateConfig(ransac_iterations=500))
+    R_err = np.abs(np.asarray(res.R_wc) - np.asarray(rodrigues(jnp.asarray(rvec_true)))).max()
+    assert R_err < 5e-3, R_err  # sigma=0.3 px observation noise floor
+    np.testing.assert_allclose(np.asarray(res.T_wc), t_true, atol=0.3)
+    assert int(res.num_inliers) >= 53
+    # Outliers correctly excluded.
+    assert not np.asarray(res.inliers)[out_idx].any()
+
+
+def test_pnp_matches_cv2(rng):
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1]])
+    cam = CameraModel.create(600.0, 600.0, 320.0, 240.0, dtype=jnp.float64)
+    rvec_true = np.array([-0.15, 0.22, 0.4])
+    t_true = np.array([0.5, 1.0, 55.0])
+    c_true = cam._replace(R_wc=rodrigues(jnp.asarray(rvec_true)), T_wc=jnp.asarray(t_true))
+    obj = rng.uniform(-16, 16, (40, 3))
+    obj[:, 2] = rng.uniform(0, 6, 40)
+    img = np.array(cam_mod.project_points(c_true, jnp.asarray(obj)))
+    img += rng.normal(0, 0.2, img.shape)
+
+    res = solve_pnp_ransac(obj, img, cam, CalibrateConfig(ransac_iterations=300))
+    ok, rvec_cv, t_cv, _ = cv2.solvePnPRansac(
+        obj.astype(np.float32).reshape(-1, 1, 3),
+        img.astype(np.float32).reshape(-1, 1, 2), K, np.zeros(5),
+        flags=cv2.SOLVEPNP_ITERATIVE, confidence=0.99,
+        reprojectionError=8.0, iterationsCount=1000)
+    R_cv = cv2.Rodrigues(rvec_cv)[0]
+    np.testing.assert_allclose(np.asarray(res.R_wc), R_cv, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res.T_wc), t_cv.ravel(), atol=0.25)
+
+
+def test_artifact_roundtrip(tmp_path):
+    art = CalibrationArtifact(
+        fx=612.3, fy=598.7, cx=321.4, cy=239.2, skew=0.0,
+        dist=np.array([-0.2, 0.05, 0.001, -0.0005, 0.01]),
+        intrinsic_reproj_error=0.21,
+        R_wc=np.asarray(rodrigues(jnp.asarray([0.1, 0.2, -0.3]))),
+        T_wc=np.array([1.0, -2.0, 80.0]),
+        extrinsic_reproj_error=0.4)
+
+    ip = str(tmp_path / "IntrinsicParameters.xlsx")
+    ep = str(tmp_path / "ExtrinsicParameters.xlsx")
+    art.save_intrinsics_xlsx(ip)
+    art.save_extrinsics_xlsx(ep)
+
+    back = CalibrationArtifact.load_intrinsics_xlsx(ip).load_extrinsics_xlsx(ep)
+    assert abs(back.fx - art.fx) < 1e-9
+    np.testing.assert_allclose(back.dist, art.dist)
+    np.testing.assert_allclose(back.R_wc, art.R_wc, atol=1e-12)
+    np.testing.assert_allclose(back.T_wc, art.T_wc, atol=1e-12)
+
+    jp = str(tmp_path / "calib.json")
+    art.save_json(jp)
+    back2 = CalibrationArtifact.load_json(jp)
+    np.testing.assert_allclose(back2.T_wc, art.T_wc)
+
+
+def test_xlsx_readable_by_pandas(tmp_path):
+    """Our xlsx must parse with independent readers too (sanity of format)."""
+    from vision_basedsensor_tpu.io import xlsx
+    p = str(tmp_path / "t.xlsx")
+    xlsx.write_xlsx(p, [["Parameter", "Value"], ["fx", 612.5], ["desc", "hello"]])
+    rows = xlsx.read_xlsx(p)
+    assert rows[0][:2] == ["Parameter", "Value"]
+    assert rows[1][:2] == ["fx", 612.5]
+    assert rows[2][:2] == ["desc", "hello"]

@@ -15,6 +15,7 @@ XLA fuses into a single elementwise pass.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -75,43 +76,59 @@ def render_frames(scene: DomeScene, displacements: jnp.ndarray,
                   marker_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Render frames for per-marker world displacements ``(B, 65, 3)`` (mm).
 
-    Each marker is a disk of radius ``marker_radius_mm`` tangent to the dome
-    (approximated as facing the camera, valid for the shallow cap). Returns
-    float frames ``(B, H, W)`` in 0..255.
+    Each marker is a ball of radius ``marker_radius_mm`` (its image carries
+    the same radial foreshortening the reference's depth model inverts,
+    3d_reconstruction.py:219). Returns float frames ``(B, H, W)`` in 0..255.
     """
     if displacements.ndim == 2:
         displacements = displacements[None]
-    B = displacements.shape[0]
-    pos = scene.marker_world[None] + displacements  # (B, 65, 3)
+    if marker_mask is None:
+        marker_mask = jnp.ones((scene.marker_world.shape[0],), bool)
+    return _render_impl(scene.cam, scene.marker_world, displacements,
+                        marker_mask, scene.marker_radius_mm, scene.background,
+                        scene.marker_level, height=scene.height,
+                        width=scene.width)
 
-    uv = cam_mod.project_points(scene.cam, pos)                 # (B, 65, 2)
-    J = _projection_jacobian(scene.cam, pos)                    # (B, 65, 2, 3)
-    # Image of the marker disk: ellipse with shape matrix M = (r^2 J J^T)^-1.
-    JJt = jnp.einsum("...ij,...kj->...ik", J, J) * scene.marker_radius_mm**2
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def _render_impl(cam, marker_world, displacements, marker_mask,
+                 marker_radius_mm, background, marker_level,
+                 *, height: int, width: int) -> jnp.ndarray:
+    pos = marker_world[None] + displacements  # (B, 65, 3)
+
+    uv = cam_mod.project_points(cam, pos)                       # (B, 65, 2)
+    J = _projection_jacobian(cam, pos)                          # (B, 65, 2, 3)
+    # Image of the marker ball: ellipse with shape matrix M = (r^2 J J^T)^-1.
+    JJt = jnp.einsum("...ij,...kj->...ik", J, J) * marker_radius_mm**2
     Minv = jnp.linalg.inv(JJt + 1e-9 * jnp.eye(2))              # (B, 65, 2, 2)
     # Effective pixel radius (geometric mean) for anti-aliasing width.
     r_px = jnp.sqrt(jnp.sqrt(jnp.linalg.det(JJt)))
 
-    ys = jnp.arange(scene.height, dtype=jnp.float32)
-    xs = jnp.arange(scene.width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)                               # (H, W)
-
-    if marker_mask is None:
-        marker_mask = jnp.ones((pos.shape[1],), bool)
+    scene = DomeScene(cam, marker_world, marker_radius_mm, background,
+                      marker_level, height, width)
 
     def frame(uv_f, Minv_f, r_f):
-        def marker_alpha(c, M, r, on):
-            d = jnp.stack([gx - c[0], gy - c[1]], axis=-1)      # (H, W, 2)
-            m = jnp.einsum("hwi,ij,hwj->hw", d, M, d)
+        def add_marker(cover, xs):
+            c, M, r, on = xs
+            d0 = gx - c[0]
+            d1 = gy - c[1]
+            m = (M[0, 0] * d0 * d0 + 2.0 * M[0, 1] * d0 * d1 + M[1, 1] * d1 * d1)
             # Signed distance to the ellipse boundary in px ~ (sqrt(m)-1)*r.
             sd = (jnp.sqrt(jnp.maximum(m, 1e-12)) - 1.0) * r
             alpha = jnp.clip(0.5 - sd, 0.0, 1.0)
-            return jnp.where(on, alpha, 0.0)
-        alphas = jax.vmap(marker_alpha)(uv_f, Minv_f, r_f, marker_mask)
-        cover = jnp.clip(alphas.sum(0), 0.0, 1.0)
+            return cover + jnp.where(on, alpha, 0.0), None
+
+        # Accumulate coverage marker-by-marker (scan) so the peak memory is
+        # one (H, W) buffer, not (65, H, W) — essential for large batches.
+        cover, _ = jax.lax.scan(add_marker, jnp.zeros_like(gx),
+                                (uv_f, Minv_f, r_f, marker_mask))
+        cover = jnp.clip(cover, 0.0, 1.0)
         return scene.background + cover * (scene.marker_level - scene.background)
 
-    img = jax.vmap(frame)(uv, Minv, r_px)
+    img = jax.lax.map(frame, (uv, Minv, r_px), batch_size=8)
     return jnp.clip(jnp.floor(img + 0.5), 0.0, 255.0)
 
 
