@@ -1,0 +1,299 @@
+"""Unified CLI covering every reference stage.
+
+The reference has no CLI at all — each stage is a script with hard-coded
+paths (SURVEY.md §5.6). Subcommands map 1:1 to the pipeline stages and the
+BASELINE.json configs:
+
+  detect       single image -> marker centroids + ids          (config 1)
+  track        video -> tracking CSV (+ annotated video)       (config 2)
+  calibrate    chessboard corners / correspondences -> xlsx    (config 3)
+  reconstruct  tracking CSV + calibration -> 3D coordinates    (config 3)
+  indent       staircase evaluation on a video                 (config 4)
+  analyze      vertical+tilted exports -> deviation + tilt     (config 5)
+  synth        render a synthetic dome video (test data)
+  serve        MJPEG acquisition server (reference C1-C3)
+  bench        single-chip throughput benchmark
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_cfg(args):
+    from vision_basedsensor_tpu.config import PipelineConfig, from_json
+    if getattr(args, "config", None):
+        return from_json(args.config)
+    return PipelineConfig()
+
+
+def _load_frames(path: str):
+    from vision_basedsensor_tpu.io.video import ArrayVideoSource, FileVideoSource
+    if path.endswith((".npy", ".npz")):
+        src = ArrayVideoSource(path)
+    else:
+        src = FileVideoSource(path)
+    return np.concatenate(list(src.batches(64)))
+
+
+def cmd_detect(args):
+    import jax.numpy as jnp
+    from vision_basedsensor_tpu.detect import detect_markers
+    from vision_basedsensor_tpu.track import assign_identities
+    cfg = _load_cfg(args)
+    if args.image.endswith(".npy"):
+        img = np.load(args.image)
+    else:
+        import cv2
+        img = cv2.imread(args.image)
+    det = detect_markers(jnp.asarray(img), cfg.detect)
+    ref = assign_identities(det, cfg.track)
+    valid = np.asarray(ref.valid)
+    xy = np.asarray(ref.xy)
+    axes = np.asarray(ref.axes)
+    print("marker_id,ring,x,y,major_axis,minor_axis")
+    for m in np.where(valid)[0]:
+        print(f"{m + 1},{int(np.asarray(ref.ring)[m])},{xy[m, 0]:.3f},"
+              f"{xy[m, 1]:.3f},{axes[m, 0]:.3f},{axes[m, 1]:.3f}")
+    print(f"# detected {valid.sum()} markers", file=sys.stderr)
+
+
+def cmd_track(args):
+    import jax.numpy as jnp
+    from vision_basedsensor_tpu.io.table import write_tracking_csv
+    from vision_basedsensor_tpu.pipeline import initialize, process_frames
+    from vision_basedsensor_tpu.synth import default_scene
+    cfg = _load_cfg(args)
+    frames = _load_frames(args.video)
+    cam = _camera_from_args(args, frames.shape)
+    ref = initialize(jnp.asarray(frames[0]), cfg, crop=args.crop)
+    out = process_frames(jnp.asarray(frames), ref, cam, cfg, crop=args.crop)
+    os.makedirs(args.output_dir, exist_ok=True)
+    csv_path = os.path.join(args.output_dir, "markers.csv")
+    write_tracking_csv(csv_path, out.tracked)
+    print(f"wrote {csv_path}")
+    if args.annotate:
+        from vision_basedsensor_tpu.detect.overlay import draw_tracking
+        from vision_basedsensor_tpu.io.video import VideoWriter
+        h, w = frames.shape[1:3]
+        vw = VideoWriter(os.path.join(args.output_dir, "tracked.avi"), 12.0, (w, h))
+        for t in range(frames.shape[0]):
+            vw.write(draw_tracking(frames[t], out.tracked, t))
+        vw.close()
+        print(f"wrote {os.path.join(args.output_dir, 'tracked.avi')}")
+
+
+def _camera_from_args(args, frame_shape):
+    from vision_basedsensor_tpu.calibrate import CalibrationArtifact
+    if getattr(args, "calibration", None):
+        art = CalibrationArtifact.load_json(args.calibration) \
+            if args.calibration.endswith(".json") \
+            else CalibrationArtifact.load_intrinsics_xlsx(args.calibration)
+        if getattr(args, "extrinsics", None):
+            art = art.load_extrinsics_xlsx(args.extrinsics)
+        return art.to_camera()
+    # Default: nominal synthetic-scene camera for the frame size.
+    from vision_basedsensor_tpu.synth import default_scene
+    h, w = frame_shape[1:3]
+    return default_scene(height=h, width=w).cam
+
+
+def cmd_calibrate_intrinsics(args):
+    from vision_basedsensor_tpu.calibrate import CalibrationArtifact, calibrate_intrinsics
+    data = np.load(args.corners)  # expects objs (V,N,3), imgs (V,N,2)
+    res = calibrate_intrinsics(data["objs"], data["imgs"])
+    art = CalibrationArtifact(
+        fx=float(res.cam.fx), fy=float(res.cam.fy), cx=float(res.cam.cx),
+        cy=float(res.cam.cy), skew=0.0, dist=np.asarray(res.cam.dist),
+        intrinsic_reproj_error=float(res.mean_reproj_error))
+    art.save_intrinsics_xlsx(args.output)
+    print(f"calibration RMS {float(res.mean_reproj_error):.4f} px -> {args.output}")
+
+
+def cmd_calibrate_extrinsics(args):
+    import csv as _csv
+    from vision_basedsensor_tpu.calibrate import CalibrationArtifact, solve_pnp_ransac
+    cfg = _load_cfg(args)
+    art = CalibrationArtifact.load_intrinsics_xlsx(args.intrinsics)
+
+    def read_pts(path, cols):
+        with open(path) as f:
+            rows = list(_csv.DictReader(f))
+        ids = [int(float(r["marker_id"])) for r in rows]
+        return ids, np.array([[float(r[c]) for c in cols] for r in rows])
+
+    wid, world = read_pts(args.world_points, ("Xw", "Yw", "Zw"))
+    pid, pix = read_pts(args.pixel_points, ("u", "v"))
+    common = sorted(set(wid) & set(pid))
+    obj = np.stack([world[wid.index(i)] for i in common])
+    img = np.stack([pix[pid.index(i)] for i in common])
+
+    res = solve_pnp_ransac(obj, img, art.to_camera(np.float64), cfg.calibrate)
+    art.R_wc = np.asarray(res.R_wc)
+    art.T_wc = np.asarray(res.T_wc)
+    art.extrinsic_reproj_error = float(res.mean_reproj_error)
+    art.save_extrinsics_xlsx(args.output)
+    print(f"PnP solved with {int(res.num_inliers)} inliers")
+    print(f"Mean reprojection error: {float(res.mean_reproj_error):.3f} pixels")
+    print(f"-> {args.output}")
+
+
+def cmd_reconstruct(args):
+    import jax.numpy as jnp
+    from vision_basedsensor_tpu.analysis import displacement_statistics
+    from vision_basedsensor_tpu.io.table import read_tracking_csv, write_coords_table
+    from vision_basedsensor_tpu.reconstruct import reconstruct_sequence
+    from vision_basedsensor_tpu.track.associate import TrackedFrames
+    cfg = _load_cfg(args)
+    cam = _camera_from_args(args, (0, 480, 640))
+    data = read_tracking_csv(args.tracking_csv)
+    tracked = TrackedFrames(
+        xy=jnp.asarray(data["xy"], jnp.float32),
+        ref_xy=jnp.asarray(data["ref_xy"], jnp.float32),
+        axes=jnp.asarray(data["axes"], jnp.float32),
+        angle=jnp.asarray(data["angle"], jnp.float32),
+        ring=jnp.zeros(65, jnp.int32),
+        valid=jnp.asarray(data["valid"]))
+    recon = reconstruct_sequence(cam, tracked, cfg.reconstruct,
+                                 apply_warmup=not args.no_warmup)
+    write_coords_table(args.output, recon)
+    stats = displacement_statistics(recon)
+    print(f"wrote {args.output}")
+    seen = np.asarray(recon.seen).sum()
+    print(f"{int(seen)} marker observations reconstructed")
+    if args.plots_dir:
+        from vision_basedsensor_tpu.analysis.plots import plot_marker_analysis
+        os.makedirs(args.plots_dir, exist_ok=True)
+        for m in np.where(np.asarray(stats.count) > 0)[0]:
+            plot_marker_analysis(recon, m + 1,
+                                 os.path.join(args.plots_dir,
+                                              f"marker_{m + 1}_analysis.png"))
+
+
+def cmd_analyze(args):
+    import jax.numpy as jnp
+    from vision_basedsensor_tpu.analysis import analyze_deviation, deviation_field
+    from vision_basedsensor_tpu.io.table import read_experiment_txt
+    cfg = _load_cfg(args)
+    d_vert, ok_v = read_experiment_txt(args.vertical)
+    d_tilt, ok_t = read_experiment_txt(args.tilted)
+    dev, ok = deviation_field(jnp.asarray(d_vert), jnp.asarray(ok_v),
+                              jnp.asarray(d_tilt), jnp.asarray(ok_t))
+    res = analyze_deviation(dev, ok, cfg.analysis, initial_mode=args.mode)
+    print(f"-> Plane Fit: Tilt Angle = {float(res.tilt_deg):.2f} degrees")
+    print(f"-> Mean deviation magnitude: {float(res.mean_magnitude):.4f} mm")
+    if args.plot:
+        from vision_basedsensor_tpu.analysis.plots import plot_deviation_field
+        plot_deviation_field(res, args.plot, initial_mode=args.mode,
+                             scale=cfg.analysis.deviation_scale)
+        print(f"wrote {args.plot}")
+
+
+def cmd_synth(args):
+    import jax.numpy as jnp
+    from vision_basedsensor_tpu.synth import (
+        default_scene, indentation_staircase, render_frames)
+    scene = default_scene(args.height, args.width)
+    if args.motion == "staircase":
+        disp = indentation_staircase(frames_per_step=args.frames_per_step)
+    else:
+        t = np.arange(args.frames, dtype=np.float32)
+        d = np.zeros((args.frames, 65, 3), np.float32)
+        d[:, :, 2] = -(1 - np.cos(t / 10.0))[:, None]
+        disp = jnp.asarray(d)
+    frames = np.asarray(render_frames(scene, disp)).astype(np.uint8)
+    np.save(args.output, frames)
+    print(f"wrote {args.output} {frames.shape}")
+
+
+def cmd_serve(args):
+    from vision_basedsensor_tpu.capture import run_server
+    cfg = _load_cfg(args)
+    cap = cfg.capture
+    if args.port is not None:
+        import dataclasses
+        cap = dataclasses.replace(cap, port=args.port)
+    run_server(cap, synthetic=args.synthetic, block=True)
+
+
+def cmd_bench(args):
+    import subprocess
+    sys.exit(subprocess.call([sys.executable,
+                              os.path.join(os.path.dirname(__file__),
+                                           "..", "..", "bench.py")]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vbs",
+                                description="TPU-native vision-based tactile sensor")
+    p.add_argument("--config", help="PipelineConfig JSON file")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="detect markers in a single image")
+    d.add_argument("image")
+    d.set_defaults(fn=cmd_detect)
+
+    t = sub.add_parser("track", help="track markers through a video")
+    t.add_argument("video")
+    t.add_argument("--output-dir", default="results")
+    t.add_argument("--crop", action="store_true")
+    t.add_argument("--annotate", action="store_true")
+    t.add_argument("--calibration")
+    t.add_argument("--extrinsics")
+    t.set_defaults(fn=cmd_track)
+
+    ci = sub.add_parser("calibrate-intrinsics")
+    ci.add_argument("corners", help="npz with objs (V,N,3) and imgs (V,N,2)")
+    ci.add_argument("--output", default="IntrinsicParameters.xlsx")
+    ci.set_defaults(fn=cmd_calibrate_intrinsics)
+
+    ce = sub.add_parser("calibrate-extrinsics")
+    ce.add_argument("intrinsics")
+    ce.add_argument("world_points", help="CSV marker_id,Xw,Yw,Zw")
+    ce.add_argument("pixel_points", help="CSV marker_id,u,v")
+    ce.add_argument("--output", default="ExtrinsicParameters.xlsx")
+    ce.set_defaults(fn=cmd_calibrate_extrinsics)
+
+    r = sub.add_parser("reconstruct")
+    r.add_argument("tracking_csv")
+    r.add_argument("--output", default="marker_3d_coordinates.csv")
+    r.add_argument("--calibration")
+    r.add_argument("--extrinsics")
+    r.add_argument("--plots-dir")
+    r.add_argument("--no-warmup", action="store_true")
+    r.set_defaults(fn=cmd_reconstruct)
+
+    a = sub.add_parser("analyze")
+    a.add_argument("vertical", help="vertical-compression experiment TXT")
+    a.add_argument("tilted", help="tilted-compression experiment TXT")
+    a.add_argument("--mode", default="plane", choices=["plane", "shell"])
+    a.add_argument("--plot")
+    a.set_defaults(fn=cmd_analyze)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--output", default="synthetic.npy")
+    s.add_argument("--motion", default="staircase", choices=["staircase", "wave"])
+    s.add_argument("--frames", type=int, default=60)
+    s.add_argument("--frames-per-step", type=int, default=1)
+    s.add_argument("--height", type=int, default=480)
+    s.add_argument("--width", type=int, default=640)
+    s.set_defaults(fn=cmd_synth)
+
+    sv = sub.add_parser("serve", help="MJPEG acquisition server")
+    sv.add_argument("--port", type=int)
+    sv.add_argument("--synthetic", action="store_true")
+    sv.set_defaults(fn=cmd_serve)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

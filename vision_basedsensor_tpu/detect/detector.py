@@ -62,15 +62,27 @@ def _detect_one(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
     # connected-component labeling and loses it when regions merge (its
     # labeling fuses the cardinal markers with adjacent ring-4 blobs, whose
     # edges come within ~2 px here); the Voronoi split keeps them apart.
+    # Exact Voronoi costs (K, P, P, K) pixel-peak distances; only the few
+    # nearest neighbors can bind inside the cutoff disk, so the gate is the
+    # intersection of halfplanes against the 3 nearest other peaks.
     dx = gx - peaks.xy[:, 0, None, None]
     dy = gy - peaks.xy[:, 1, None, None]
     d2_own = dx * dx + dy * dy
-    peak_x = jnp.where(peaks.valid, peaks.xy[:, 0], 1e9)
-    peak_y = jnp.where(peaks.valid, peaks.xy[:, 1], 1e9)
-    d2_all = ((gx[..., None] - peak_x) ** 2 + (gy[..., None] - peak_y) ** 2)
-    d2_min = jnp.min(d2_all, axis=-1)
-    cut = ((d2_own <= profile.radial_cutoff_px**2)
-           & (d2_own <= d2_min + 1e-3)).astype(jnp.float32)
+    k = peaks.xy.shape[0]
+    pd2 = jnp.sum((peaks.xy[:, None, :] - peaks.xy[None, :, :]) ** 2, axis=-1)
+    pd2 = jnp.where(jnp.eye(k, dtype=bool) | ~peaks.valid[None, :], jnp.inf, pd2)
+    _, nbr = jax.lax.top_k(-pd2, 3)                     # (K, 3) nearest others
+    nxy = peaks.xy[nbr]                                 # (K, 3, 2)
+    nok = jnp.isfinite(jnp.take_along_axis(pd2, nbr, axis=1))
+    # Halfplane: keep p when (p - own) . (nbr - own) <= |nbr - own|^2 / 2.
+    ex = nxy[..., 0] - peaks.xy[:, None, 0]             # (K, 3)
+    ey = nxy[..., 1] - peaks.xy[:, None, 1]
+    rhs = 0.5 * (ex * ex + ey * ey)
+    lhs = (dx[:, None] * ex[:, :, None, None]
+           + dy[:, None] * ey[:, :, None, None])        # (K, 3, P, P)
+    keep = jnp.all((lhs <= rhs[:, :, None, None] + 1e-3) | ~nok[:, :, None, None],
+                   axis=1)
+    cut = ((d2_own <= profile.radial_cutoff_px**2) & keep).astype(jnp.float32)
 
     flat = lambda v: v.reshape(-1, p * p)
     fx, fy = flat(gx), flat(gy)

@@ -1,0 +1,167 @@
+"""Video sources and sinks + double-buffered device feed.
+
+Host shell around the TPU pipeline (SURVEY.md §7 layer 7): decode happens on
+host (OpenCV when available), frames move to device in batches with a
+one-batch lookahead so decode overlaps compute — the transport analog of the
+reference's capture thread + latest-frame mailbox (``collecting.py:111-131``).
+
+Sources are gated on their dependencies: ``FileVideoSource`` needs cv2;
+``ArrayVideoSource`` (npy/npz stacks) and ``SyntheticVideoSource`` (rendered
+dome scenes) are always available and serve as the fake-camera test backbone
+(the analog of the reference's "NO CAMERA" synthetic frames,
+``collecting.py:133-142``).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:  # optional host dependency
+    import cv2 as _cv2
+except Exception:  # pragma: no cover
+    _cv2 = None
+
+
+class VideoSource:
+    """Iterator of frame batches ``(B, H, W)`` or ``(B, H, W, 3)`` uint8."""
+
+    def batches(self, batch_size: int) -> Iterator[np.ndarray]:
+        raise NotImplementedError
+
+    @property
+    def fps(self) -> float:
+        return 0.0
+
+
+class ArrayVideoSource(VideoSource):
+    """Frames from an in-memory array or .npy/.npz file."""
+
+    def __init__(self, frames_or_path, fps: float = 12.0):
+        if isinstance(frames_or_path, str):
+            if frames_or_path.endswith(".npz"):
+                with np.load(frames_or_path) as z:
+                    frames = z[list(z.keys())[0]]
+            else:
+                frames = np.load(frames_or_path)
+        else:
+            frames = np.asarray(frames_or_path)
+        self._frames = frames
+        self._fps = fps
+
+    @property
+    def fps(self) -> float:
+        return self._fps
+
+    def batches(self, batch_size: int) -> Iterator[np.ndarray]:
+        for i in range(0, len(self._frames), batch_size):
+            yield self._frames[i:i + batch_size]
+
+
+class FileVideoSource(VideoSource):
+    """Decode a video file via OpenCV (reference input path,
+    ``marker_detection.py:52``)."""
+
+    def __init__(self, path: str):
+        if _cv2 is None:
+            raise RuntimeError("FileVideoSource requires cv2 (opencv-python)")
+        self._cap = _cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise IOError(f"Could not open video: {path}")
+        self._fps = self._cap.get(_cv2.CAP_PROP_FPS)
+
+    @property
+    def fps(self) -> float:
+        return self._fps
+
+    def batches(self, batch_size: int) -> Iterator[np.ndarray]:
+        buf = []
+        while True:
+            ok, frame = self._cap.read()
+            if not ok:
+                break
+            buf.append(frame)
+            if len(buf) == batch_size:
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            yield np.stack(buf)
+        self._cap.release()
+
+
+class SyntheticVideoSource(VideoSource):
+    """Rendered dome frames for a prescribed displacement sequence."""
+
+    def __init__(self, scene, displacements, fps: float = 12.0):
+        self._scene = scene
+        self._disp = np.asarray(displacements)
+        self._fps = fps
+
+    @property
+    def fps(self) -> float:
+        return self._fps
+
+    def batches(self, batch_size: int) -> Iterator[np.ndarray]:
+        from vision_basedsensor_tpu.synth import render_frames
+        import jax.numpy as jnp
+        for i in range(0, len(self._disp), batch_size):
+            chunk = jnp.asarray(self._disp[i:i + batch_size], jnp.float32)
+            yield np.asarray(render_frames(self._scene, chunk)).astype(np.uint8)
+
+
+class VideoWriter:
+    """Annotated-video sink (XVID .avi like ``marker_detection.py:70-76``).
+    No-op when cv2 is absent."""
+
+    def __init__(self, path: str, fps: float, size_wh: tuple[int, int]):
+        self._writer = None
+        if _cv2 is not None:
+            fourcc = _cv2.VideoWriter_fourcc(*"XVID")
+            self._writer = _cv2.VideoWriter(path, fourcc, fps, size_wh)
+
+    def write(self, frame: np.ndarray) -> None:
+        if self._writer is not None:
+            if frame.ndim == 2:
+                frame = np.repeat(frame[..., None], 3, axis=-1)
+            self._writer.write(frame.astype(np.uint8))
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.release()
+
+
+def device_feed(source: VideoSource, batch_size: int,
+                device=None) -> Iterator:
+    """Double-buffered host->device frame feed.
+
+    Decodes batch k+1 on a host thread while batch k is on device — the
+    host-side half of the >=1000 fps pipeline (SURVEY.md §7 "hard parts").
+    Yields committed device arrays.
+    """
+    import jax
+
+    it = source.batches(batch_size)
+    lock = threading.Lock()
+    state: dict = {}
+
+    def prefetch():
+        try:
+            nxt = next(it)
+        except StopIteration:
+            nxt = None
+        with lock:
+            state["next"] = nxt
+
+    t = threading.Thread(target=prefetch)
+    t.start()
+    while True:
+        t.join()
+        with lock:
+            batch = state.get("next")
+        if batch is None:
+            return
+        t = threading.Thread(target=prefetch)
+        t.start()
+        arr = jax.device_put(batch, device)
+        yield arr

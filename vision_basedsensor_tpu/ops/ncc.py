@@ -19,10 +19,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from vision_basedsensor_tpu.core.imaging import (
-    conv_same_zero,
-    gaussian_kernel_1d,
-)
+import numpy as np
+
+from vision_basedsensor_tpu.core.imaging import conv_same_zero, gaussian_taps
 
 
 def normxcorr_gaussian(image: jnp.ndarray, ksize: int, sigma: float,
@@ -40,9 +39,9 @@ def normxcorr_gaussian(image: jnp.ndarray, ksize: int, sigma: float,
     # template annihilates constants), but it changes what the zero-padded
     # borders mean, so it is replicated for bit-level parity there too.
     image = image - jnp.mean(image, axis=(-2, -1), keepdims=True)
-    g = gaussian_kernel_1d(ksize, sigma)
+    g = gaussian_taps(ksize, sigma)
     n = float(ksize * ksize)
-    ones = jnp.ones((ksize,), jnp.float32)
+    ones = np.ones(ksize)
 
     corr_g = conv_same_zero(image, g, g)
     box1 = conv_same_zero(image, ones, ones)
@@ -51,8 +50,8 @@ def normxcorr_gaussian(image: jnp.ndarray, ksize: int, sigma: float,
     num = corr_g - box1 / n
     var_n = jnp.maximum(box2 - box1 * box1 / n, 0.0)
 
-    g2d = jnp.outer(g, g)
-    t0_energy = jnp.sum((g2d - jnp.mean(g2d)) ** 2)
+    g2d = np.outer(g, g)
+    t0_energy = float(np.sum((g2d - np.mean(g2d)) ** 2))
 
     den = jnp.sqrt(var_n * t0_energy)
     # The reference zeroes non-finite outputs (:163). Flat windows must score

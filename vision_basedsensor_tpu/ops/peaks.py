@@ -38,7 +38,7 @@ def _suppress(xy: jnp.ndarray, score: jnp.ndarray, valid: jnp.ndarray,
 
 
 def find_peaks(score: jnp.ndarray, threshold: float, window: int,
-               max_peaks: int, min_distance: float) -> Peaks:
+               max_peaks: int, min_distance: float, cell: int = 8) -> Peaks:
     """Extract up to ``max_peaks`` local maxima of ``score`` ``(..., H, W)``.
 
     A pixel is a candidate when it equals the ``window``-sized local maximum
@@ -46,14 +46,35 @@ def find_peaks(score: jnp.ndarray, threshold: float, window: int,
     within ``min_distance`` pixels (plateaus of the thresholded NCC field
     otherwise produce several adjacent candidates where the reference's
     labeling produced one component).
+
+    TPU note: ``top_k`` over the raw H*W pixels is sort-bound; instead each
+    ``cell x cell`` tile is reduced to its best candidate first (max+argmax,
+    pure VPU) and ``top_k`` runs over the ~H*W/cell^2 tile maxima. Peaks
+    closer than ``cell`` to each other collapse to one candidate per tile —
+    safe here because real markers are farther apart than any sensible cell
+    (min marker spacing ~20 px vs cell 8).
     """
     h, w = score.shape[-2:]
     local_max = max_filter(score, window)
     is_peak = (score >= local_max) & (score > threshold)
-    flat = jnp.where(is_peak, score, -jnp.inf).reshape(score.shape[:-2] + (h * w,))
-    vals, idx = jax.lax.top_k(flat, max_peaks)
-    ys = (idx // w).astype(jnp.float32)
-    xs = (idx % w).astype(jnp.float32)
+    sp = jnp.where(is_peak, score, -jnp.inf)
+
+    hc = -(-h // cell)
+    wc = -(-w // cell)
+    pad = [(0, 0)] * (score.ndim - 2) + [(0, hc * cell - h), (0, wc * cell - w)]
+    sp = jnp.pad(sp, pad, constant_values=-jnp.inf)
+    batch = sp.shape[:-2]
+    tiles = sp.reshape(batch + (hc, cell, wc, cell))
+    tiles = jnp.moveaxis(tiles, -3, -2).reshape(batch + (hc, wc, cell * cell))
+    cmax = jnp.max(tiles, axis=-1)
+    coff = jnp.argmax(tiles, axis=-1)
+
+    vals, cidx = jax.lax.top_k(cmax.reshape(batch + (hc * wc,)), max_peaks)
+    off = jnp.take_along_axis(coff.reshape(batch + (hc * wc,)), cidx, axis=-1)
+    cy = cidx // wc
+    cx = cidx % wc
+    ys = (cy * cell + off // cell).astype(jnp.float32)
+    xs = (cx * cell + off % cell).astype(jnp.float32)
     xy = jnp.stack([xs, ys], axis=-1)
     valid = jnp.isfinite(vals)
 

@@ -100,7 +100,7 @@ def _render_impl(cam, marker_world, displacements, marker_mask,
     J = _projection_jacobian(cam, pos)                          # (B, 65, 2, 3)
     # Image of the marker ball: ellipse with shape matrix M = (r^2 J J^T)^-1.
     JJt = jnp.einsum("...ij,...kj->...ik", J, J) * marker_radius_mm**2
-    Minv = jnp.linalg.inv(JJt + 1e-9 * jnp.eye(2))              # (B, 65, 2, 2)
+    Minv = jnp.linalg.inv(JJt + 1e-9 * jnp.eye(2, dtype=JJt.dtype))  # (B, 65, 2, 2)
     # Effective pixel radius (geometric mean) for anti-aliasing width.
     r_px = jnp.sqrt(jnp.sqrt(jnp.linalg.det(JJt)))
 
@@ -110,7 +110,8 @@ def _render_impl(cam, marker_world, displacements, marker_mask,
     scene = DomeScene(cam, marker_world, marker_radius_mm, background,
                       marker_level, height, width)
 
-    def frame(uv_f, Minv_f, r_f):
+    def frame(args):
+        uv_f, Minv_f, r_f = args
         def add_marker(cover, xs):
             c, M, r, on = xs
             d0 = gx - c[0]
@@ -118,7 +119,7 @@ def _render_impl(cam, marker_world, displacements, marker_mask,
             m = (M[0, 0] * d0 * d0 + 2.0 * M[0, 1] * d0 * d1 + M[1, 1] * d1 * d1)
             # Signed distance to the ellipse boundary in px ~ (sqrt(m)-1)*r.
             sd = (jnp.sqrt(jnp.maximum(m, 1e-12)) - 1.0) * r
-            alpha = jnp.clip(0.5 - sd, 0.0, 1.0)
+            alpha = jnp.clip(0.5 - sd, 0.0, 1.0).astype(cover.dtype)
             return cover + jnp.where(on, alpha, 0.0), None
 
         # Accumulate coverage marker-by-marker (scan) so the peak memory is
