@@ -1,0 +1,128 @@
+"""Chessboard detection + diameter validation on synthetic imagery."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu.analysis.diameter import (
+    chessboard_scale,
+    measure_diameters,
+    otsu_threshold,
+)
+from vision_basedsensor_tpu.calibrate.chessboard import (
+    find_chessboard,
+    refine_subpixel,
+    saddle_response,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+def render_chessboard(h=300, w=400, square=28.0, origin=(60.5, 55.3),
+                      angle_deg=7.0, n=8, supersample=4):
+    """Anti-aliased checkerboard with a known corner lattice."""
+    ss = supersample
+    # Center-aligned supersampling: pixel i averages samples at
+    # i + (k+0.5)/ss - 0.5, so its mean position is exactly i.
+    yy, xx = (np.mgrid[:h * ss, :w * ss] + 0.5) / ss - 0.5
+    t = np.deg2rad(angle_deg)
+    u = (xx - origin[0]) * np.cos(t) + (yy - origin[1]) * np.sin(t)
+    v = -(xx - origin[0]) * np.sin(t) + (yy - origin[1]) * np.cos(t)
+    iu = np.floor(u / square).astype(int)
+    iv = np.floor(v / square).astype(int)
+    inside = (iu >= 0) & (iu < n) & (iv >= 0) & (iv < n)
+    img = np.where(inside & (((iu + iv) % 2) == 0), 30.0, 220.0)
+    img = img.reshape(h, ss, w, ss).mean((1, 3))
+
+    # Inner-corner ground truth (n-1 x n-1).
+    corners = []
+    for j in range(1, n):
+        for i in range(1, n):
+            cu, cv_ = i * square, j * square
+            x = origin[0] + cu * np.cos(t) - cv_ * np.sin(t)
+            y = origin[1] + cu * np.sin(t) + cv_ * np.cos(t)
+            corners.append([x, y])
+    return img.astype(np.float32), np.array(corners)
+
+
+def test_saddle_response_peaks_at_corners():
+    img, truth = render_chessboard()
+    resp = np.asarray(saddle_response(jnp.asarray(img)))
+    # Response at true corners must dominate response away from them.
+    at = [resp[int(round(y)), int(round(x))] for x, y in truth]
+    assert min(at) > 0.3 * max(at)
+
+
+def test_find_chessboard_full(tolerance=0.15):
+    img, truth = render_chessboard()
+    res = find_chessboard(img, (7, 7))
+    assert res.found
+    got = res.corners
+    assert got.shape == (49, 2)
+    # Match each truth corner to the detected set.
+    errs = [np.linalg.norm(got - t, axis=1).min() for t in truth]
+    assert np.median(errs) < tolerance, np.median(errs)
+    assert max(errs) < 0.5
+    # Grid ordering: consecutive corners in a row are one square apart.
+    row = got[:7]
+    steps = np.linalg.norm(np.diff(row, axis=0), axis=1)
+    np.testing.assert_allclose(steps, 28.0, atol=0.5)
+
+
+def test_subpixel_vs_cv2():
+    img, truth = render_chessboard()
+    approx = np.round(truth[:10]) + np.array([0.6, -0.4])
+    ours = np.asarray(refine_subpixel(jnp.asarray(img), jnp.asarray(approx, jnp.float32)))
+    ref = cv2.cornerSubPix(
+        img.astype(np.uint8), approx.astype(np.float32).reshape(-1, 1, 2),
+        (5, 5), (-1, -1),
+        (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 1e-3)).reshape(-1, 2)
+    err_ours = np.linalg.norm(ours - truth[:10], axis=1)
+    err_cv = np.linalg.norm(ref - truth[:10], axis=1)
+    # Must be comparably accurate to cv2's refinement on the same inputs.
+    assert np.median(err_ours) < max(2 * np.median(err_cv), 0.1)
+
+
+def _disk_image(h=240, w=320, centers=((60, 80), (120, 200), (180, 120)),
+                r_px=14.0, bg=210, fg=35):
+    yy, xx = np.mgrid[:h, :w].astype(np.float64)
+    img = np.full((h, w), float(bg))
+    for cy, cx in centers:
+        d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        img = np.where(d <= r_px, float(fg), img)
+    return img.astype(np.float32)
+
+
+def test_otsu_threshold_separates_modes():
+    img = _disk_image()
+    t = float(otsu_threshold(jnp.asarray(img)))
+    assert 40 < t < 205
+
+
+def test_measure_diameters_accuracy():
+    r = 14.0
+    img = _disk_image(r_px=r)
+    scale = 5.0  # px per mm
+    res = measure_diameters(jnp.asarray(img), scale)
+    valid = np.asarray(res.valid)
+    assert valid.sum() == 3
+    d = np.asarray(res.diameters_mm)[valid]
+    np.testing.assert_allclose(d, 2 * r / scale, rtol=0.04)
+    assert np.asarray(res.circularity)[valid].min() > 0.9
+
+
+def test_measure_diameters_rejects_elongated():
+    img = _disk_image(centers=((60, 80),))
+    # Add an elongated blob.
+    img[150:160, 60:220] = 35
+    res = measure_diameters(jnp.asarray(img), 5.0)
+    valid = np.asarray(res.valid)
+    assert valid.sum() == 1  # only the disk passes the circularity gate
+
+
+def test_chessboard_scale():
+    img, truth = render_chessboard(angle_deg=0.0, origin=(60.0, 55.0))
+    res = find_chessboard(img, (7, 7))
+    assert res.found
+    scale = chessboard_scale(res.corners, (7, 7), square_mm=3.0)
+    np.testing.assert_allclose(scale, 28.0 / 3.0, rtol=0.01)
