@@ -27,6 +27,13 @@ def setup():
     return cfg, scene, frames, ref
 
 
+def test_setup_actually_detects(setup):
+    """Guard against vacuously-passing comparisons: the small scene must
+    produce real detections."""
+    cfg, scene, frames, ref = setup
+    assert int(np.asarray(ref.valid).sum()) >= 60
+
+
 def test_data_parallel_matches_single_device(setup):
     cfg, scene, frames, ref = setup
     mesh = make_mesh(jax.devices()[:8])

@@ -210,6 +210,33 @@ def cmd_synth(args):
     print(f"wrote {args.output} {frames.shape}")
 
 
+def cmd_run_live(args):
+    """Consume a live MJPEG stream (or any source) through the pipeline."""
+    from vision_basedsensor_tpu.io.mjpeg import MjpegVideoSource
+    from vision_basedsensor_tpu.io.session import load_session, save_session
+    from vision_basedsensor_tpu.pipeline import StreamingPipeline
+    cfg = _load_cfg(args)
+    cam = _camera_from_args(args, (0, cfg.capture.height, cfg.capture.width))
+    ref = carry = None
+    if args.resume and os.path.exists(args.resume):
+        ref, cfg, art, carry = load_session(args.resume)
+        if art is not None:
+            cam = art.to_camera()
+        print(f"resumed session from {args.resume}")
+    sp = StreamingPipeline(cam, cfg, ref=ref, carry=carry or None)
+    src = MjpegVideoSource(args.url, max_frames=args.max_frames)
+    for out in sp.run(src, batch_size=args.batch):
+        seen = np.asarray(out.recon.seen)
+        ffn = np.asarray(out.recon.from_first_norm)
+        mean_disp = float(ffn[seen].mean()) if seen.any() else 0.0
+        print(f"frames {sp.frames_seen}: tracked "
+              f"{int(seen[-1].sum())}/65 markers, "
+              f"mean displacement {mean_disp:.3f} mm", flush=True)
+    if args.resume:
+        save_session(args.resume, sp.ref, cfg, scan_carry=sp.carry)
+        print(f"session saved to {args.resume}")
+
+
 def cmd_serve(args):
     from vision_basedsensor_tpu.capture import run_server
     cfg = _load_cfg(args)
@@ -282,6 +309,15 @@ def main(argv=None):
     s.add_argument("--height", type=int, default=480)
     s.add_argument("--width", type=int, default=640)
     s.set_defaults(fn=cmd_synth)
+
+    rl = sub.add_parser("run-live", help="process a live MJPEG stream")
+    rl.add_argument("url")
+    rl.add_argument("--batch", type=int, default=32)
+    rl.add_argument("--max-frames", type=int)
+    rl.add_argument("--calibration")
+    rl.add_argument("--extrinsics")
+    rl.add_argument("--resume", help="session checkpoint directory")
+    rl.set_defaults(fn=cmd_run_live)
 
     sv = sub.add_parser("serve", help="MJPEG acquisition server")
     sv.add_argument("--port", type=int)

@@ -73,3 +73,63 @@ def run_video(frames: jnp.ndarray, cam: CameraModel, cfg: PipelineConfig,
     """Convenience wrapper: initialize on frame 0, then process the batch."""
     ref = initialize(frames[0], cfg, crop)
     return process_frames(frames, ref, cam, cfg, crop, apply_warmup)
+
+
+class StreamingPipeline:
+    """Stateful chunked pipeline for live / arbitrarily long sources.
+
+    Carries the frame-0 reference table and the displacement-scan state
+    across fixed-size chunks, so memory stays bounded and a session can be
+    checkpointed/resumed mid-stream (io/session.py). Detection within each
+    chunk is fully batched; only the tiny scan carry crosses chunks.
+    """
+
+    def __init__(self, cam: CameraModel, cfg: PipelineConfig,
+                 ref: ReferenceMarkers | None = None,
+                 carry: dict | None = None):
+        from vision_basedsensor_tpu.detect import detect_markers as _detect
+        from vision_basedsensor_tpu.reconstruct.depth import reconstruct_positions
+        from vision_basedsensor_tpu.reconstruct.displacement import (
+            displacement_scan, initial_carry)
+
+        self.cam = cam
+        self.cfg = cfg
+        self.ref = ref
+        self.carry = carry
+        self.frames_seen = 0
+
+        @functools.partial(jax.jit)
+        def _chunk(frames, ref_in, carry_in):
+            det = _detect(frames, cfg.detect)
+            if cfg.track.association_mode == "sequential":
+                tracked = associate_sequential(ref_in, det,
+                                               cfg.track.min_marker_distance_px)
+            else:
+                tracked = associate(ref_in, det, cfg.track.min_marker_distance_px)
+            world, ok = reconstruct_positions(
+                cam, tracked.xy, tracked.axes[..., 0], tracked.valid,
+                cfg.reconstruct)
+            recon, carry_out = displacement_scan(world, ok, cfg.reconstruct,
+                                                 carry=carry_in,
+                                                 return_carry=True)
+            return PipelineOutputs(det, tracked, recon), carry_out
+
+        self._chunk = _chunk
+        self._initial_carry = initial_carry
+
+    def process(self, frames: jnp.ndarray) -> PipelineOutputs:
+        """Process one chunk ``(B, H, W[, 3])``; state advances."""
+        frames = jnp.asarray(frames)
+        if self.ref is None:
+            self.ref = initialize(frames[0], self.cfg)
+        if self.carry is None:
+            self.carry = self._initial_carry(self.ref.xy.shape[0])
+        out, self.carry = self._chunk(frames, self.ref, self.carry)
+        self.frames_seen += frames.shape[0]
+        return out
+
+    def run(self, source, batch_size: int = 64):
+        """Iterate PipelineOutputs chunks over a VideoSource."""
+        from vision_basedsensor_tpu.io.video import device_feed
+        for batch in device_feed(source, batch_size):
+            yield self.process(batch)

@@ -36,18 +36,26 @@ class Reconstruction(NamedTuple):
     from_first_norm: jnp.ndarray  # (B, 65)
 
 
+def initial_carry(n: int, dtype=jnp.float32) -> dict:
+    """Fresh scan state (also the session-checkpoint schema, io/session.py)."""
+    return dict(
+        last=jnp.zeros((n, 3), dtype), last_ok=jnp.zeros(n, bool),
+        first=jnp.zeros((n, 3), dtype), first_ok=jnp.zeros(n, bool),
+        cum=jnp.zeros(n, dtype),
+    )
+
+
 def displacement_scan(world: jnp.ndarray, seen: jnp.ndarray,
-                      cfg: ReconstructConfig) -> Reconstruction:
+                      cfg: ReconstructConfig, carry: dict | None = None,
+                      return_carry: bool = False):
     """Run the last-sighting recurrence over the frame axis.
 
-    ``world: (B, 65, 3)``, ``seen: (B, 65)``.
+    ``world: (B, 65, 3)``, ``seen: (B, 65)``. Pass a ``carry`` from a
+    previous chunk (or a session checkpoint) to resume mid-video; with
+    ``return_carry`` the final state is returned alongside the result.
     """
     n = world.shape[1]
-    init = dict(
-        last=jnp.zeros((n, 3), world.dtype), last_ok=jnp.zeros(n, bool),
-        first=jnp.zeros((n, 3), world.dtype), first_ok=jnp.zeros(n, bool),
-        cum=jnp.zeros(n, world.dtype),
-    )
+    init = initial_carry(n, world.dtype) if carry is None else carry
 
     def step_fn(c, xs):
         pos, ok = xs
@@ -71,11 +79,14 @@ def displacement_scan(world: jnp.ndarray, seen: jnp.ndarray,
         out = (dz, dnz, emit, cum, ff, jnp.linalg.norm(ff, axis=-1))
         return new_c, out
 
-    _, (step, step_norm, step_valid, cum, ff, ffn) = jax.lax.scan(
+    final, (step, step_norm, step_valid, cum, ff, ffn) = jax.lax.scan(
         step_fn, init, (world, seen))
-    return Reconstruction(world=world, seen=seen, step=step,
-                          step_norm=step_norm, step_valid=step_valid,
-                          cum_path=cum, from_first=ff, from_first_norm=ffn)
+    recon = Reconstruction(world=world, seen=seen, step=step,
+                           step_norm=step_norm, step_valid=step_valid,
+                           cum_path=cum, from_first=ff, from_first_norm=ffn)
+    if return_carry:
+        return recon, final
+    return recon
 
 
 def reconstruct_sequence(cam: CameraModel, tracked: TrackedFrames,

@@ -38,13 +38,18 @@ class DomeScene(NamedTuple):
 
 
 def default_scene(height: int = 480, width: int = 640,
-                  camera_z_mm: float = -40.0,
+                  camera_z_mm: float | None = None,
                   dist: np.ndarray | None = None) -> DomeScene:
     """Camera under the dome apex looking up (+Z), dome at the origin.
 
     Mirrors the physical arrangement: endoscopic camera inside the bonnet
-    tool viewing the marker-printed inner surface (README.md:7).
+    tool viewing the marker-printed inner surface (README.md:7). The camera
+    distance scales with resolution so marker images stay ~20 px across —
+    the size the detector's resolution profiles (and the reference's
+    constants) are tuned for.
     """
+    if camera_z_mm is None:
+        camera_z_mm = -40.0 * (width / 640.0)
     f = 0.625 * width  # outer ring (r=16.29 @ depth ~45) stays inside the frame
     cam = CameraModel.create(
         fx=f, fy=f, cx=width / 2, cy=height / 2,
