@@ -1,0 +1,120 @@
+"""CLI smoke tests on synthetic data (every subcommand's happy path)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu.cli.main import main
+from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+
+@pytest.fixture(scope="module")
+def video_npy(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli")
+    scene = default_scene(240, 320)
+    d = jnp.zeros((4, 65, 3), jnp.float32)
+    d = d.at[:, :, 2].add(-0.1 * jnp.arange(4)[:, None])
+    frames = np.asarray(render_frames(scene, d)).astype(np.uint8)
+    path = str(p / "video.npy")
+    np.save(path, frames)
+    return path
+
+
+def test_cli_detect(video_npy, tmp_path, capsys):
+    frames = np.load(video_npy)
+    img = str(tmp_path / "frame.npy")
+    np.save(img, frames[0])
+    main(["detect", img])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l and not l.startswith("#")]
+    assert lines[0].startswith("marker_id")
+    assert len(lines) >= 60
+
+
+def test_cli_track_and_reconstruct(video_npy, tmp_path, capsys):
+    outdir = str(tmp_path / "res")
+    main(["track", video_npy, "--output-dir", outdir])
+    csv_path = os.path.join(outdir, "markers.csv")
+    assert os.path.exists(csv_path)
+
+    out_coords = str(tmp_path / "coords.csv")
+    main(["reconstruct", csv_path, "--output", out_coords, "--no-warmup"])
+    assert os.path.exists(out_coords)
+    text = open(out_coords).read()
+    assert "Xw" in text and text.count("\n") > 60
+
+
+def test_cli_analyze(tmp_path, capsys):
+    from vision_basedsensor_tpu.io.table import write_experiment_txt
+    from vision_basedsensor_tpu import layout
+    import numpy as _np
+    table = layout.dome_layout()[:, 1:]
+    valid = _np.ones(65, bool)
+    vert_end = table + [0, 0, -1.0]
+    tilt_end = table.copy()
+    tilt_end[:, 2] += -1.0 - _np.tan(_np.deg2rad(15.0)) * table[:, 0]
+    pv = str(tmp_path / "vert.txt")
+    pt = str(tmp_path / "tilt.txt")
+    write_experiment_txt(pv, table, vert_end, valid)
+    write_experiment_txt(pt, table, tilt_end, valid)
+    plot = str(tmp_path / "dev.png")
+    main(["analyze", pv, pt, "--plot", plot])
+    out = capsys.readouterr().out
+    assert "Tilt Angle = 15.0" in out
+    assert os.path.exists(plot)
+
+
+def test_cli_synth(tmp_path, capsys):
+    out = str(tmp_path / "s.npy")
+    main(["synth", "--output", out, "--motion", "wave", "--frames", "3",
+          "--height", "120", "--width", "160"])
+    assert np.load(out).shape == (3, 120, 160)
+
+
+def test_cli_calibrate(tmp_path, capsys, rng):
+    # Synthetic correspondences via the camera model.
+    from vision_basedsensor_tpu.core import camera as cam_mod
+    from vision_basedsensor_tpu.core.camera import CameraModel
+    from vision_basedsensor_tpu.core.transforms import rodrigues
+    cam = CameraModel.create(620.0, 600.0, 310.0, 245.0, dtype=jnp.float64)
+    objs, imgs = [], []
+    xs, ys = np.meshgrid(np.arange(6), np.arange(6))
+    board = np.stack([xs.ravel(), ys.ravel(), np.zeros(36)], -1) * 3.0
+    for k in range(6):
+        rv = rng.uniform(-0.3, 0.3, 3)
+        tv = np.array([rng.uniform(-5, 5), rng.uniform(-5, 5), rng.uniform(50, 70)])
+        c = cam._replace(R_wc=rodrigues(jnp.asarray(rv)), T_wc=jnp.asarray(tv))
+        objs.append(board)
+        imgs.append(np.array(cam_mod.project_points(c, jnp.asarray(board))))
+    npz = str(tmp_path / "corners.npz")
+    np.savez(npz, objs=np.stack(objs), imgs=np.stack(imgs))
+    out_x = str(tmp_path / "Intrinsic.xlsx")
+    main(["calibrate-intrinsics", npz, "--output", out_x])
+    assert os.path.exists(out_x)
+
+    # Extrinsics from marker correspondences.
+    world_csv = str(tmp_path / "world.csv")
+    pix_csv = str(tmp_path / "pixel.csv")
+    obj = rng.uniform(-15, 15, (30, 3))
+    obj[:, 2] = rng.uniform(0, 5, 30)
+    c = cam._replace(R_wc=rodrigues(jnp.asarray([0.1, -0.05, 0.2])),
+                     T_wc=jnp.asarray([1.0, 2.0, 60.0]))
+    uv = np.array(cam_mod.project_points(c, jnp.asarray(obj)))
+    with open(world_csv, "w") as f:
+        f.write("marker_id,Xw,Yw,Zw\n")
+        for i, p in enumerate(obj):
+            f.write(f"{i+1},{p[0]},{p[1]},{p[2]}\n")
+    with open(pix_csv, "w") as f:
+        f.write("marker_id,u,v\n")
+        for i, p in enumerate(uv):
+            f.write(f"{i+1},{p[0]},{p[1]}\n")
+    out_e = str(tmp_path / "Extrinsic.xlsx")
+    main(["calibrate-extrinsics", out_x, world_csv, pix_csv, "--output", out_e])
+    assert os.path.exists(out_e)
+    txt = capsys.readouterr().out
+    assert "inliers" in txt
