@@ -1,0 +1,61 @@
+"""Pallas window-sums kernel vs the XLA gather backend (interpret mode)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu.config import DetectConfig, PipelineConfig
+from vision_basedsensor_tpu.core.imaging import min_filter, morph_open, to_grayscale
+from vision_basedsensor_tpu.detect import detect_markers
+from vision_basedsensor_tpu.ops.dog import dog_area_mask
+from vision_basedsensor_tpu.ops.moments import cut_geometry, window_sums_xla
+from vision_basedsensor_tpu.ops.ncc import normxcorr_gaussian
+from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
+from vision_basedsensor_tpu.ops.peaks import find_peaks
+from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+
+@pytest.fixture(scope="module")
+def fields():
+    cfg = DetectConfig()
+    prof = cfg.low_res
+    scene = default_scene(240, 320)
+    frame = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))[0]
+    gray = to_grayscale(frame)
+    area = dog_area_mask(gray, prof, cfg.dog_offset)
+    ncc = normxcorr_gaussian(area.astype(jnp.float32), prof.template_size,
+                             prof.template_sigma)
+    m = (ncc > cfg.ncc_threshold).astype(jnp.float32)
+    band = m * (min_filter(m, prof.band_window) < 0.5)
+    area_open = morph_open(area.astype(jnp.float32), cfg.open_ksize)
+    peaks = find_peaks(ncc, cfg.ncc_threshold, prof.peak_window,
+                       cfg.max_candidates, float(prof.peak_window))
+    return cfg, prof, gray, band, area_open, peaks
+
+
+def test_pallas_sums_match_xla(fields):
+    cfg, prof, gray, band, area_open, peaks = fields
+    geom = cut_geometry(peaks)
+    sx = np.asarray(window_sums_xla(band, area_open, gray, peaks, geom, prof))
+    sp = np.asarray(window_sums_pallas(band, area_open, gray, peaks, geom,
+                                       prof, interpret=True))
+    valid = np.asarray(peaks.valid)
+    # Compare finite entries on valid peaks (lo/hi are +-inf on empty cuts).
+    a, b = sx[valid], sp[valid]
+    fin = np.isfinite(a)
+    np.testing.assert_array_equal(fin, np.isfinite(b))
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-3)
+
+
+def test_detect_pallas_backend_end_to_end(fields):
+    scene = default_scene(240, 320)
+    frame = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))
+    det_x = detect_markers(frame, DetectConfig(backend="xla"))
+    det_p = detect_markers(frame, DetectConfig(backend="pallas"))
+    np.testing.assert_array_equal(np.asarray(det_x.valid), np.asarray(det_p.valid))
+    v = np.asarray(det_x.valid)
+    np.testing.assert_allclose(np.asarray(det_x.xy)[v], np.asarray(det_p.xy)[v],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(det_x.axes)[v],
+                               np.asarray(det_p.axes)[v], atol=1e-2)

@@ -77,6 +77,9 @@ class DetectConfig:
     # including its biases (see tests/test_detect.py).
     diameter_mode: str = "photometric"
     centroid_mode: str = "photometric"  # "band" (reference parity) | "photometric"
+    # Window-sum backend: "xla" (gather + reduce) or "pallas" (fused kernel
+    # with per-window HBM->VMEM DMA, ops/pallas/moments.py).
+    backend: str = "xla"
 
 
 @dataclass(frozen=True)

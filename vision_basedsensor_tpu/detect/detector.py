@@ -26,11 +26,14 @@ import jax
 import jax.numpy as jnp
 
 from vision_basedsensor_tpu.config import DetectConfig, DetectProfile
-from vision_basedsensor_tpu.core.fit import ellipse_from_moments
 from vision_basedsensor_tpu.core.imaging import min_filter, morph_open, to_grayscale
 from vision_basedsensor_tpu.ops.dog import dog_area_mask
+from vision_basedsensor_tpu.ops.moments import (
+    cut_geometry,
+    finalize,
+    window_sums_xla,
+)
 from vision_basedsensor_tpu.ops.ncc import normxcorr_gaussian
-from vision_basedsensor_tpu.ops.patches import extract_patches, patch_coords
 from vision_basedsensor_tpu.ops.peaks import find_peaks
 
 
@@ -46,90 +49,53 @@ class Detections(NamedTuple):
 def _detect_one(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
                 area_open: jnp.ndarray, cfg: DetectConfig,
                 profile: DetectProfile) -> Detections:
-    """Single-frame candidate extraction from precomputed fields."""
+    """Single-frame candidate extraction from precomputed fields.
+
+    Per-candidate isolation: a radial cutoff around each peak plus Voronoi
+    halfplane cuts against the 3 nearest other peaks — the reference got
+    isolation for free from connected-component labeling and loses it when
+    regions merge (its labeling fuses the cardinal markers with adjacent
+    ring-4 blobs, whose edges come within ~2 px here).
+
+    All window math reduces to 18 sums per candidate (ops/moments.py),
+    produced either by the XLA gather backend or the fused Pallas kernel.
+    """
     peaks = find_peaks(ncc, cfg.ncc_threshold, profile.peak_window,
                        cfg.max_candidates, float(profile.peak_window))
-
-    p = profile.patch_size
-    b_patch, start = extract_patches(band, peaks.xy, p)
-    a_patch, _ = extract_patches(area_open, peaks.xy, p)
-    g_patch, _ = extract_patches(gray, peaks.xy, p)
-    gx, gy = patch_coords(start, p)
-
-    # Radial cutoff around each peak isolates this marker's region from
-    # neighbors sharing the window, and a Voronoi gate assigns each pixel to
-    # its *nearest* peak — the reference got isolation for free from
-    # connected-component labeling and loses it when regions merge (its
-    # labeling fuses the cardinal markers with adjacent ring-4 blobs, whose
-    # edges come within ~2 px here); the Voronoi split keeps them apart.
-    # Exact Voronoi costs (K, P, P, K) pixel-peak distances; only the few
-    # nearest neighbors can bind inside the cutoff disk, so the gate is the
-    # intersection of halfplanes against the 3 nearest other peaks.
-    dx = gx - peaks.xy[:, 0, None, None]
-    dy = gy - peaks.xy[:, 1, None, None]
-    d2_own = dx * dx + dy * dy
-    k = peaks.xy.shape[0]
-    pd2 = jnp.sum((peaks.xy[:, None, :] - peaks.xy[None, :, :]) ** 2, axis=-1)
-    pd2 = jnp.where(jnp.eye(k, dtype=bool) | ~peaks.valid[None, :], jnp.inf, pd2)
-    _, nbr = jax.lax.top_k(-pd2, 3)                     # (K, 3) nearest others
-    nxy = peaks.xy[nbr]                                 # (K, 3, 2)
-    nok = jnp.isfinite(jnp.take_along_axis(pd2, nbr, axis=1))
-    # Halfplane: keep p when (p - own) . (nbr - own) <= |nbr - own|^2 / 2.
-    ex = nxy[..., 0] - peaks.xy[:, None, 0]             # (K, 3)
-    ey = nxy[..., 1] - peaks.xy[:, None, 1]
-    rhs = 0.5 * (ex * ex + ey * ey)
-    lhs = (dx[:, None] * ex[:, :, None, None]
-           + dy[:, None] * ey[:, :, None, None])        # (K, 3, P, P)
-    keep = jnp.all((lhs <= rhs[:, :, None, None] + 1e-3) | ~nok[:, :, None, None],
-                   axis=1)
-    cut = ((d2_own <= profile.radial_cutoff_px**2) & keep).astype(jnp.float32)
-
-    flat = lambda v: v.reshape(-1, p * p)
-    fx, fy = flat(gx), flat(gy)
-
-    def centroid(w):
-        tot = jnp.maximum(w.sum(-1), 1e-12)
-        return jnp.stack([(w * fx).sum(-1) / tot, (w * fy).sum(-1) / tot], -1)
+    geom = cut_geometry(peaks)
+    if cfg.backend == "pallas":
+        from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
+        sums = window_sums_pallas(band, area_open, gray, peaks, geom, profile)
+    else:
+        sums = window_sums_xla(band, area_open, gray, peaks, geom, profile)
+    fin = finalize(sums, peaks.xy)
 
     # Reference-parity center: centroid of the boundary band of the NCC
-    # superlevel mask — exactly the region the reference's
-    # maximum/minimum_filter + label + center_of_mass computes
-    # (marker_detection.py:170-181): mask pixels whose band_window
-    # neighborhood touches background.
-    band_center = centroid(flat(b_patch * cut))
-
-    # Photometric weights: normalized darkness of the raw gray patch inside
-    # the cutoff disk. Unbiased sub-pixel center/axes for absolute accuracy.
-    g_cut = flat(g_patch)
-    inside = flat(cut) > 0
-    lo = jnp.min(jnp.where(inside, g_cut, jnp.inf), axis=-1, keepdims=True)
-    hi = jnp.max(jnp.where(inside, g_cut, -jnp.inf), axis=-1, keepdims=True)
-    contrast = jnp.maximum(hi - lo, 1e-3)
-    w_photo = jnp.clip((hi - g_cut) / contrast, 0.0, 1.0) * flat(cut)
-    photo = ellipse_from_moments(w_photo, fx, fy)
-
-    center = band_center if cfg.centroid_mode == "band" else photo.center
-
-    # Ellipse geometry from the opened area mask's second moments — the
-    # analog of findContours + fitEllipse (:196-217).
-    ell = ellipse_from_moments(flat(a_patch * cut), fx, fy)
-    axes_src = ell if cfg.diameter_mode == "mask" else photo
+    # superlevel mask — the region the reference's maximum/minimum_filter +
+    # label + center_of_mass computes (marker_detection.py:170-181).
+    # Photometric center/axes: intensity-weighted moments (unbiased).
+    center = fin.band_center if cfg.centroid_mode == "band" else fin.photo_center
+    if cfg.diameter_mode == "mask":
+        axes, angle = fin.area_axes, fin.area_angle
+    else:
+        axes, angle = fin.photo_axes, fin.photo_angle
 
     # Validity gates mirroring the reference's per-contour checks:
     #   minor >= 5 px (:219); NCC centroid within minor/10 of the ellipse
     #   center (:225-234); non-empty area region.
-    match_d2 = jnp.sum((center - ell.center) ** 2, axis=-1)
-    gate = (ell.minor / cfg.center_match_frac) ** 2
+    ell_minor = fin.area_axes[:, 1]
+    match_d2 = jnp.sum((center - fin.area_center) ** 2, axis=-1)
+    gate = (ell_minor / cfg.center_match_frac) ** 2
     valid = (peaks.valid
-             & (ell.minor >= cfg.min_minor_axis_px)
-             & (ell.area > 0.0)
+             & (ell_minor >= cfg.min_minor_axis_px)
+             & (fin.area_m0 > 0.0)
              & (match_d2 < gate))
 
     z = lambda v: jnp.where(valid[..., None] if v.ndim > valid.ndim else valid, v, 0.0)
     return Detections(
         xy=z(center),
-        axes=z(jnp.stack([axes_src.major, axes_src.minor], axis=-1)),
-        angle=jnp.where(valid, axes_src.angle_deg, 0.0),
+        axes=z(axes),
+        angle=jnp.where(valid, angle, 0.0),
         score=jnp.where(valid, peaks.score, 0.0),
         valid=valid,
     )

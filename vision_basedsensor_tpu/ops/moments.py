@@ -1,0 +1,148 @@
+"""Per-peak window moment sums + finalization into marker candidates.
+
+The detector's per-candidate stage reduces three image fields over a window
+around each peak into 17 sums; everything downstream (centroids, ellipse
+axes, validity gates) is closed-form in those sums. Two interchangeable
+backends produce them:
+
+* ``window_sums_xla`` — gather patches with ``dynamic_slice`` and reduce
+  (vmapped XLA);
+* ``ops.pallas.moments.window_sums_pallas`` — a fused Pallas kernel that
+  DMAs each window HBM->VMEM once and accumulates in registers, skipping the
+  patch materialization round-trip.
+
+Coordinates in the sums are RELATIVE to the peak (dx, dy in [-P/2, P/2]):
+raw second moments around absolute pixel coordinates would lose ~5 digits to
+cancellation in f32. ``finalize`` adds the peak positions back.
+
+Sum layout (last axis, size 18):
+  0:  band * cut                      (band-centroid denominator)
+  1:  band * cut * dx    2: * dy      (band-centroid numerators)
+  3:  area * cut                      (ellipse m00)
+  4:  area * cut * dx    5: * dy
+  6:  area * cut * dx^2  7: * dy^2  8: * dx*dy
+  9:  photo * cut                     (photometric moments, weights
+  10: photo * cut * dx   11: * dy      w = (hi - gray)/(hi - lo) clipped)
+  12: photo * cut * dx^2 13: * dy^2 14: * dx*dy
+  15: min(gray) in cut   16: max(gray) in cut
+  17: count(cut)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu.config import DetectConfig, DetectProfile
+from vision_basedsensor_tpu.ops.patches import extract_patches, patch_coords
+from vision_basedsensor_tpu.ops.peaks import Peaks
+
+NUM_SUMS = 18
+
+
+class CutGeometry(NamedTuple):
+    """Per-peak isolation geometry: radial cutoff + 3 halfplanes."""
+    ex: jnp.ndarray   # (K, 3) neighbor direction x
+    ey: jnp.ndarray   # (K, 3)
+    rhs: jnp.ndarray  # (K, 3) halfplane offsets (inf disables)
+
+
+def cut_geometry(peaks: Peaks) -> CutGeometry:
+    """Nearest-3-neighbor halfplane parameters for each peak."""
+    k = peaks.xy.shape[0]
+    pd2 = jnp.sum((peaks.xy[:, None, :] - peaks.xy[None, :, :]) ** 2, axis=-1)
+    pd2 = jnp.where(jnp.eye(k, dtype=bool) | ~peaks.valid[None, :], jnp.inf, pd2)
+    _, nbr = jax.lax.top_k(-pd2, 3)
+    nxy = peaks.xy[nbr]
+    nok = jnp.isfinite(jnp.take_along_axis(pd2, nbr, axis=1))
+    ex = nxy[..., 0] - peaks.xy[:, None, 0]
+    ey = nxy[..., 1] - peaks.xy[:, None, 1]
+    rhs = jnp.where(nok, 0.5 * (ex * ex + ey * ey), jnp.inf)
+    return CutGeometry(ex=jnp.where(nok, ex, 0.0), ey=jnp.where(nok, ey, 0.0),
+                       rhs=rhs)
+
+
+def window_sums_xla(band: jnp.ndarray, area: jnp.ndarray, gray: jnp.ndarray,
+                    peaks: Peaks, geom: CutGeometry,
+                    profile: DetectProfile) -> jnp.ndarray:
+    """Reference backend: patches + reductions. Returns ``(K, NUM_SUMS)``."""
+    p = profile.patch_size
+    b_patch, start = extract_patches(band, peaks.xy, p)
+    a_patch, _ = extract_patches(area, peaks.xy, p)
+    g_patch, _ = extract_patches(gray, peaks.xy, p)
+    gx, gy = patch_coords(start, p)
+
+    dx = gx - peaks.xy[:, 0, None, None]
+    dy = gy - peaks.xy[:, 1, None, None]
+    d2 = dx * dx + dy * dy
+    lhs = (dx[:, None] * geom.ex[:, :, None, None]
+           + dy[:, None] * geom.ey[:, :, None, None])
+    keep = jnp.all(lhs <= geom.rhs[:, :, None, None] + 1e-3, axis=1)
+    cut = ((d2 <= profile.radial_cutoff_px**2) & keep).astype(jnp.float32)
+
+    flat = lambda v: v.reshape(-1, p * p)
+    fx, fy, c = flat(dx), flat(dy), flat(cut)
+    fb, fa, fg = flat(b_patch) * c, flat(a_patch) * c, flat(g_patch)
+
+    inside = c > 0
+    lo = jnp.min(jnp.where(inside, fg, jnp.inf), axis=-1)
+    hi = jnp.max(jnp.where(inside, fg, -jnp.inf), axis=-1)
+    contrast = jnp.maximum(hi - lo, 1e-3)
+    w = jnp.clip((hi[:, None] - fg) / contrast[:, None], 0.0, 1.0) * c
+
+    def m(v):
+        return jnp.stack([v.sum(-1), (v * fx).sum(-1), (v * fy).sum(-1)], -1)
+
+    def m2(v):
+        return jnp.stack([(v * fx * fx).sum(-1), (v * fy * fy).sum(-1),
+                          (v * fx * fy).sum(-1)], -1)
+
+    return jnp.concatenate([
+        m(fb), m(fa), m2(fa), m(w), m2(w),
+        lo[:, None], hi[:, None], c.sum(-1)[:, None],
+    ], axis=-1)
+
+
+class Finalized(NamedTuple):
+    band_center: jnp.ndarray   # (K, 2)
+    photo_center: jnp.ndarray  # (K, 2)
+    area_center: jnp.ndarray   # (K, 2)
+    area_axes: jnp.ndarray     # (K, 2) major, minor
+    area_angle: jnp.ndarray    # (K,)
+    photo_axes: jnp.ndarray    # (K, 2)
+    photo_angle: jnp.ndarray   # (K,)
+    area_m0: jnp.ndarray       # (K,)
+
+
+def _ellipse(m0, mx, my, mxx, myy, mxy):
+    tot = jnp.maximum(m0, 1e-12)
+    cx = mx / tot
+    cy = my / tot
+    vxx = mxx / tot - cx * cx
+    vyy = myy / tot - cy * cy
+    vxy = mxy / tot - cx * cy
+    tr = vxx + vyy
+    diff = vxx - vyy
+    disc = jnp.sqrt(jnp.maximum(diff * diff + 4.0 * vxy * vxy, 0.0))
+    major = 4.0 * jnp.sqrt(jnp.maximum(0.5 * (tr + disc), 0.0))
+    minor = 4.0 * jnp.sqrt(jnp.maximum(0.5 * (tr - disc), 0.0))
+    angle = jnp.mod(jnp.degrees(0.5 * jnp.arctan2(2.0 * vxy, diff)), 180.0)
+    return jnp.stack([cx, cy], -1), major, minor, angle
+
+
+def finalize(sums: jnp.ndarray, peak_xy: jnp.ndarray) -> Finalized:
+    """Closed-form candidate geometry from the 18 window sums (peak-relative
+    coordinates; centers are shifted back by ``peak_xy``)."""
+    s = sums
+    bc = jnp.stack([s[:, 1], s[:, 2]], -1) / jnp.maximum(s[:, 0:1], 1e-12)
+    ac, a_major, a_minor, a_angle = _ellipse(s[:, 3], s[:, 4], s[:, 5],
+                                             s[:, 6], s[:, 7], s[:, 8])
+    pc, p_major, p_minor, p_angle = _ellipse(s[:, 9], s[:, 10], s[:, 11],
+                                             s[:, 12], s[:, 13], s[:, 14])
+    return Finalized(
+        band_center=bc + peak_xy, photo_center=pc + peak_xy,
+        area_center=ac + peak_xy,
+        area_axes=jnp.stack([a_major, a_minor], -1), area_angle=a_angle,
+        photo_axes=jnp.stack([p_major, p_minor], -1), photo_angle=p_angle,
+        area_m0=s[:, 3])

@@ -1,0 +1,146 @@
+"""Fused per-peak window-sums Pallas kernel.
+
+The XLA backend (ops/moments.py:window_sums_xla) materializes three
+``(K, P, P)`` patch tensors in HBM (a gather + full round-trip per field).
+This kernel instead walks the K peaks inside one program per frame,
+double-buffering row-block DMAs HBM->VMEM and accumulating all 18 moment
+sums in VMEM — each window's pixels cross the memory system exactly once.
+
+Layout: for peak k the kernel copies ``P`` full image rows (contiguous DMA)
+for each of the three fields into a ``(2, 3, P, W)`` VMEM scratch (two slots
+for overlap), then reduces the ``(P, P)`` column window with the cutoff +
+halfplane gates applied in registers. Peak coordinates and halfplane
+parameters live in SMEM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vision_basedsensor_tpu.config import DetectProfile
+from vision_basedsensor_tpu.ops.moments import NUM_SUMS, CutGeometry
+from vision_basedsensor_tpu.ops.peaks import Peaks
+
+
+def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
+            out_ref, rows, sems, *, patch: int, width: int, cutoff: float):
+    k_total = out_ref.shape[0]
+    n_fields = 3
+
+    def start_dma(slot, k):
+        y0 = start_ref[k, 1]
+        for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(y0, patch), :],
+                rows.at[slot, f],
+                sems.at[slot, f],
+            ).start()
+
+    def wait_dma(slot, k):
+        y0 = start_ref[k, 1]
+        for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(y0, patch), :],
+                rows.at[slot, f],
+                sems.at[slot, f],
+            ).wait()
+
+    start_dma(0, 0)
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < k_total)
+        def _():
+            start_dma(jax.lax.rem(k + 1, 2), k + 1)
+
+        wait_dma(slot, k)
+
+        x0 = start_ref[k, 0]
+        y0 = start_ref[k, 1]
+        px = peak_ref[k, 0]
+        py = peak_ref[k, 1]
+
+        band = rows[slot, 0, :, pl.ds(x0, patch)]
+        area = rows[slot, 1, :, pl.ds(x0, patch)]
+        gray = rows[slot, 2, :, pl.ds(x0, patch)]
+
+        col = jax.lax.broadcasted_iota(jnp.float32, (patch, patch), 1)
+        row = jax.lax.broadcasted_iota(jnp.float32, (patch, patch), 0)
+        dx = col + (x0.astype(jnp.float32) - px)
+        dy = row + (y0.astype(jnp.float32) - py)
+
+        keep = (dx * dx + dy * dy) <= cutoff * cutoff
+        for j in range(3):
+            ex = geom_ref[k, 3 * j + 0]
+            ey = geom_ref[k, 3 * j + 1]
+            rhs = geom_ref[k, 3 * j + 2]
+            keep = keep & ((dx * ex + dy * ey) <= rhs + 1e-3)
+        cut = keep.astype(jnp.float32)
+
+        b = band * cut
+        a = area * cut
+        g_in = jnp.where(keep, gray, jnp.inf)
+        lo = jnp.min(g_in)
+        hi = jnp.max(jnp.where(keep, gray, -jnp.inf))
+        w = jnp.clip((hi - gray) / jnp.maximum(hi - lo, 1e-3), 0.0, 1.0) * cut
+
+        vals = jnp.stack([
+            jnp.sum(b), jnp.sum(b * dx), jnp.sum(b * dy),
+            jnp.sum(a), jnp.sum(a * dx), jnp.sum(a * dy),
+            jnp.sum(a * dx * dx), jnp.sum(a * dy * dy), jnp.sum(a * dx * dy),
+            jnp.sum(w), jnp.sum(w * dx), jnp.sum(w * dy),
+            jnp.sum(w * dx * dx), jnp.sum(w * dy * dy), jnp.sum(w * dx * dy),
+            lo, hi, jnp.sum(cut),
+        ])
+        out_ref[k, :] = vals
+        return ()
+
+    jax.lax.fori_loop(0, k_total, body, ())
+
+
+def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
+                       gray: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
+                       profile: DetectProfile,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """Drop-in replacement for ``window_sums_xla`` (single frame)."""
+    h, w = gray.shape
+    p = profile.patch_size
+    k = peaks.xy.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    half = p // 2
+    cx = jnp.clip(jnp.round(peaks.xy[:, 0]).astype(jnp.int32) - half, 0, w - p)
+    cy = jnp.clip(jnp.round(peaks.xy[:, 1]).astype(jnp.int32) - half, 0, h - p)
+    start = jnp.stack([cx, cy], axis=-1)
+    geom_packed = jnp.stack(
+        [geom.ex[:, 0], geom.ey[:, 0], jnp.minimum(geom.rhs[:, 0], 3e38),
+         geom.ex[:, 1], geom.ey[:, 1], jnp.minimum(geom.rhs[:, 1], 3e38),
+         geom.ex[:, 2], geom.ey[:, 2], jnp.minimum(geom.rhs[:, 2], 3e38)],
+        axis=-1).astype(jnp.float32)
+
+    kern = functools.partial(_kernel, patch=p, width=w,
+                             cutoff=float(profile.radial_cutoff_px))
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((k, NUM_SUMS), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # start (K, 2) i32
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # peak xy (K, 2) f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # geom (K, 9) f32
+            pl.BlockSpec(memory_space=pl.ANY),    # band (H, W)
+            pl.BlockSpec(memory_space=pl.ANY),    # area (H, W)
+            pl.BlockSpec(memory_space=pl.ANY),    # gray (H, W)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, p, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(start, peaks.xy.astype(jnp.float32), geom_packed, band, area, gray)
