@@ -21,11 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vision_basedsensor_tpu.core.imaging import (
-    gaussian_blur,
-    min_filter,
-    to_grayscale,
-)
+from vision_basedsensor_tpu.core.imaging import gaussian_blur, to_grayscale
 from vision_basedsensor_tpu.ops.patches import extract_patches, patch_coords
 from vision_basedsensor_tpu.ops.peaks import find_peaks
 

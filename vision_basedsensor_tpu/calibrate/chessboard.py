@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vision_basedsensor_tpu.core.imaging import _sep_filter, gaussian_taps
+from vision_basedsensor_tpu.core.imaging import _sep_filter
 from vision_basedsensor_tpu.ops.patches import extract_patches, patch_coords
 from vision_basedsensor_tpu.ops.peaks import find_peaks
 

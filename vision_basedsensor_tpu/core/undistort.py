@@ -8,8 +8,6 @@ remap is a bilinear gather that batches over frames.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

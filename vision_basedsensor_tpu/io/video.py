@@ -14,7 +14,7 @@ dome scenes) are always available and serve as the fake-camera test backbone
 from __future__ import annotations
 
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

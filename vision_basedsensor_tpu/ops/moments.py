@@ -34,7 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from vision_basedsensor_tpu.config import DetectConfig, DetectProfile
+from vision_basedsensor_tpu.config import DetectProfile
 from vision_basedsensor_tpu.ops.patches import extract_patches, patch_coords
 from vision_basedsensor_tpu.ops.peaks import Peaks
 
