@@ -46,10 +46,10 @@ class Detections(NamedTuple):
     valid: jnp.ndarray   # (..., K) bool
 
 
-def _detect_one(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
-                area_open: jnp.ndarray, cfg: DetectConfig,
-                profile: DetectProfile) -> Detections:
-    """Single-frame candidate extraction from precomputed fields.
+def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
+                    area_open: jnp.ndarray, cfg: DetectConfig,
+                    profile: DetectProfile) -> Detections:
+    """Batched candidate extraction from precomputed fields ``(B, H, W)``.
 
     Per-candidate isolation: a radial cutoff around each peak plus Voronoi
     halfplane cuts against the 3 nearest other peaks — the reference got
@@ -62,12 +62,13 @@ def _detect_one(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
     """
     peaks = find_peaks(ncc, cfg.ncc_threshold, profile.peak_window,
                        cfg.max_candidates, float(profile.peak_window))
-    geom = cut_geometry(peaks)
+    geom = jax.vmap(cut_geometry)(peaks)
     if cfg.backend == "pallas":
         from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
         sums = window_sums_pallas(band, area_open, gray, peaks, geom, profile)
     else:
-        sums = window_sums_xla(band, area_open, gray, peaks, geom, profile)
+        sums = jax.vmap(lambda b, a, g, p, gm: window_sums_xla(b, a, g, p, gm, profile)
+                        )(band, area_open, gray, peaks, geom)
     fin = finalize(sums, peaks.xy)
 
     # Reference-parity center: centroid of the boundary band of the NCC
@@ -83,7 +84,7 @@ def _detect_one(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
     # Validity gates mirroring the reference's per-contour checks:
     #   minor >= 5 px (:219); NCC centroid within minor/10 of the ellipse
     #   center (:225-234); non-empty area region.
-    ell_minor = fin.area_axes[:, 1]
+    ell_minor = fin.area_axes[..., 1]
     match_d2 = jnp.sum((center - fin.area_center) ** 2, axis=-1)
     gate = (ell_minor / cfg.center_match_frac) ** 2
     valid = (peaks.valid
@@ -122,12 +123,11 @@ def detect_markers(frames: jnp.ndarray, cfg: DetectConfig,
                              profile.template_sigma)
     ncc_mask = (ncc > cfg.ncc_threshold).astype(jnp.float32)
     # Boundary band of the NCC mask: mask pixels whose band_window
-    # neighborhood touches background (see _detect_one).
+    # neighborhood touches background (see _detect_batched).
     band = ncc_mask * (min_filter(ncc_mask, profile.band_window) < 0.5)
     area_open = morph_open(area.astype(jnp.float32), cfg.open_ksize)
 
-    det = jax.vmap(lambda n, b, a, g: _detect_one(g, n, b, a, cfg, profile))(
-        ncc, band, area_open, gray)
+    det = _detect_batched(gray, ncc, band, area_open, cfg, profile)
     if squeeze:
         det = jax.tree.map(lambda x: x[0], det)
     return det

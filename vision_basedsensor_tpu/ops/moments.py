@@ -135,14 +135,14 @@ def finalize(sums: jnp.ndarray, peak_xy: jnp.ndarray) -> Finalized:
     """Closed-form candidate geometry from the 18 window sums (peak-relative
     coordinates; centers are shifted back by ``peak_xy``)."""
     s = sums
-    bc = jnp.stack([s[:, 1], s[:, 2]], -1) / jnp.maximum(s[:, 0:1], 1e-12)
-    ac, a_major, a_minor, a_angle = _ellipse(s[:, 3], s[:, 4], s[:, 5],
-                                             s[:, 6], s[:, 7], s[:, 8])
-    pc, p_major, p_minor, p_angle = _ellipse(s[:, 9], s[:, 10], s[:, 11],
-                                             s[:, 12], s[:, 13], s[:, 14])
+    bc = jnp.stack([s[..., 1], s[..., 2]], -1) / jnp.maximum(s[..., 0:1], 1e-12)
+    ac, a_major, a_minor, a_angle = _ellipse(s[..., 3], s[..., 4], s[..., 5],
+                                             s[..., 6], s[..., 7], s[..., 8])
+    pc, p_major, p_minor, p_angle = _ellipse(s[..., 9], s[..., 10], s[..., 11],
+                                             s[..., 12], s[..., 13], s[..., 14])
     return Finalized(
         band_center=bc + peak_xy, photo_center=pc + peak_xy,
         area_center=ac + peak_xy,
         area_axes=jnp.stack([a_major, a_minor], -1), area_angle=a_angle,
         photo_axes=jnp.stack([p_major, p_minor], -1), photo_angle=p_angle,
-        area_m0=s[:, 3])
+        area_m0=s[..., 3])

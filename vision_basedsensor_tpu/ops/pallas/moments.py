@@ -28,23 +28,23 @@ from vision_basedsensor_tpu.ops.peaks import Peaks
 
 def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
             out_ref, rows, sems, *, patch: int, width: int, cutoff: float):
-    k_total = out_ref.shape[0]
-    n_fields = 3
+    frame = pl.program_id(0)
+    k_total = out_ref.shape[1]
 
     def start_dma(slot, k):
-        y0 = start_ref[k, 1]
+        y0 = start_ref[0, k, 1]
         for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
             pltpu.make_async_copy(
-                src.at[pl.ds(y0, patch), :],
+                src.at[frame, pl.ds(y0, patch), :],
                 rows.at[slot, f],
                 sems.at[slot, f],
             ).start()
 
     def wait_dma(slot, k):
-        y0 = start_ref[k, 1]
+        y0 = start_ref[0, k, 1]
         for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
             pltpu.make_async_copy(
-                src.at[pl.ds(y0, patch), :],
+                src.at[frame, pl.ds(y0, patch), :],
                 rows.at[slot, f],
                 sems.at[slot, f],
             ).wait()
@@ -60,10 +60,10 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
 
         wait_dma(slot, k)
 
-        x0 = start_ref[k, 0]
-        y0 = start_ref[k, 1]
-        px = peak_ref[k, 0]
-        py = peak_ref[k, 1]
+        x0 = start_ref[0, k, 0]
+        y0 = start_ref[0, k, 1]
+        px = peak_ref[0, k, 0]
+        py = peak_ref[0, k, 1]
 
         band = rows[slot, 0, :, pl.ds(x0, patch)]
         area = rows[slot, 1, :, pl.ds(x0, patch)]
@@ -76,9 +76,9 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
 
         keep = (dx * dx + dy * dy) <= cutoff * cutoff
         for j in range(3):
-            ex = geom_ref[k, 3 * j + 0]
-            ey = geom_ref[k, 3 * j + 1]
-            rhs = geom_ref[k, 3 * j + 2]
+            ex = geom_ref[0, k, 3 * j + 0]
+            ey = geom_ref[0, k, 3 * j + 1]
+            rhs = geom_ref[0, k, 3 * j + 2]
             keep = keep & ((dx * ex + dy * ey) <= rhs + 1e-3)
         cut = keep.astype(jnp.float32)
 
@@ -97,7 +97,7 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
             jnp.sum(w * dx * dx), jnp.sum(w * dy * dy), jnp.sum(w * dx * dy),
             lo, hi, jnp.sum(cut),
         ])
-        out_ref[k, :] = vals
+        out_ref[0, k, :] = vals
         return ()
 
     jax.lax.fori_loop(0, k_total, body, ())
@@ -107,40 +107,58 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
                        gray: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
                        profile: DetectProfile,
                        interpret: bool | None = None) -> jnp.ndarray:
-    """Drop-in replacement for ``window_sums_xla`` (single frame)."""
-    h, w = gray.shape
+    """Drop-in replacement for a batch of ``window_sums_xla`` calls.
+
+    Inputs carry a leading frame axis (``(B, H, W)`` images, ``(B, K, ...)``
+    peak data); the frame axis is the kernel grid (TPU Pallas requires
+    ANY-space operands un-blocked, so batching must be a grid dim, not vmap).
+    Single-frame inputs are auto-expanded.
+    """
+    squeeze = gray.ndim == 2
+    if squeeze:
+        band, area, gray = band[None], area[None], gray[None]
+        peaks = jax.tree.map(lambda v: v[None], peaks)
+        geom = jax.tree.map(lambda v: v[None], geom)
+    b_frames, h, w = gray.shape
     p = profile.patch_size
-    k = peaks.xy.shape[0]
+    k = peaks.xy.shape[-2]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     half = p // 2
-    cx = jnp.clip(jnp.round(peaks.xy[:, 0]).astype(jnp.int32) - half, 0, w - p)
-    cy = jnp.clip(jnp.round(peaks.xy[:, 1]).astype(jnp.int32) - half, 0, h - p)
-    start = jnp.stack([cx, cy], axis=-1)
+    cx = jnp.clip(jnp.round(peaks.xy[..., 0]).astype(jnp.int32) - half, 0, w - p)
+    cy = jnp.clip(jnp.round(peaks.xy[..., 1]).astype(jnp.int32) - half, 0, h - p)
+    start = jnp.stack([cx, cy], axis=-1)                       # (B, K, 2)
+    rhs = jnp.minimum(geom.rhs, 3e38)
     geom_packed = jnp.stack(
-        [geom.ex[:, 0], geom.ey[:, 0], jnp.minimum(geom.rhs[:, 0], 3e38),
-         geom.ex[:, 1], geom.ey[:, 1], jnp.minimum(geom.rhs[:, 1], 3e38),
-         geom.ex[:, 2], geom.ey[:, 2], jnp.minimum(geom.rhs[:, 2], 3e38)],
-        axis=-1).astype(jnp.float32)
+        [geom.ex[..., 0], geom.ey[..., 0], rhs[..., 0],
+         geom.ex[..., 1], geom.ey[..., 1], rhs[..., 1],
+         geom.ex[..., 2], geom.ey[..., 2], rhs[..., 2]],
+        axis=-1).astype(jnp.float32)                           # (B, K, 9)
 
     kern = functools.partial(_kernel, patch=p, width=w,
                              cutoff=float(profile.radial_cutoff_px))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((k, NUM_SUMS), jnp.float32),
+        grid=(b_frames,),
+        out_shape=jax.ShapeDtypeStruct((b_frames, k, NUM_SUMS), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # start (K, 2) i32
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # peak xy (K, 2) f32
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # geom (K, 9) f32
-            pl.BlockSpec(memory_space=pl.ANY),    # band (H, W)
-            pl.BlockSpec(memory_space=pl.ANY),    # area (H, W)
-            pl.BlockSpec(memory_space=pl.ANY),    # gray (H, W)
+            pl.BlockSpec((1, k, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # start
+            pl.BlockSpec((1, k, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # peak xy
+            pl.BlockSpec((1, k, 9), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # geom
+            pl.BlockSpec(memory_space=pl.ANY),       # band (B, H, W)
+            pl.BlockSpec(memory_space=pl.ANY),       # area
+            pl.BlockSpec(memory_space=pl.ANY),       # gray
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, k, NUM_SUMS), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 3, p, w), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
     )(start, peaks.xy.astype(jnp.float32), geom_packed, band, area, gray)
+    return out[0] if squeeze else out
