@@ -77,9 +77,11 @@ class DetectConfig:
     # including its biases (see tests/test_detect.py).
     diameter_mode: str = "photometric"
     centroid_mode: str = "photometric"  # "band" (reference parity) | "photometric"
-    # Window-sum backend: "xla" (gather + reduce) or "pallas" (fused kernel
-    # with per-window HBM->VMEM DMA, ops/pallas/moments.py).
-    backend: str = "xla"
+    # Window-sum backend: "pallas" (fused kernel with per-window HBM->VMEM
+    # DMA, ops/pallas/moments.py — 3.4x faster detect on TPU, measured
+    # 593 -> 176 us/frame), "xla" (gather + reduce), or "auto" (pallas on
+    # TPU, xla elsewhere).
+    backend: str = "auto"
 
 
 @dataclass(frozen=True)

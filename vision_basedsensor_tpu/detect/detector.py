@@ -63,7 +63,10 @@ def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
     peaks = find_peaks(ncc, cfg.ncc_threshold, profile.peak_window,
                        cfg.max_candidates, float(profile.peak_window))
     geom = jax.vmap(cut_geometry)(peaks)
-    if cfg.backend == "pallas":
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
         from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
         sums = window_sums_pallas(band, area_open, gray, peaks, geom, profile)
     else:

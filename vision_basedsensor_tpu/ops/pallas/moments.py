@@ -6,11 +6,13 @@ This kernel instead walks the K peaks inside one program per frame,
 double-buffering row-block DMAs HBM->VMEM and accumulating all 18 moment
 sums in VMEM — each window's pixels cross the memory system exactly once.
 
-Layout: for peak k the kernel copies ``P`` full image rows (contiguous DMA)
-for each of the three fields into a ``(2, 3, P, W)`` VMEM scratch (two slots
-for overlap), then reduces the ``(P, P)`` column window with the cutoff +
-halfplane gates applied in registers. Peak coordinates and halfplane
-parameters live in SMEM.
+Layout: for peak k the kernel copies ``P+8`` full image rows (contiguous
+DMA, 8-aligned start per Mosaic's f32 sublane tiling) for each of the three
+fields into a ``(2, 3, P+8, W)`` VMEM scratch (two slots for overlap), then
+reduces over the full row block with the radial-cutoff + halfplane gates
+selecting the active pixels (unaligned lane slices are not lowerable, and
+the gates bound the region anyway). Peak coordinates, halfplane parameters,
+and the 18 output sums live in SMEM.
 """
 from __future__ import annotations
 
@@ -27,24 +29,25 @@ from vision_basedsensor_tpu.ops.peaks import Peaks
 
 
 def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
-            out_ref, rows, sems, *, patch: int, width: int, cutoff: float):
+            out_ref, rows, sems, *, rows_block: int, width: int, cutoff: float):
     frame = pl.program_id(0)
     k_total = out_ref.shape[1]
 
     def start_dma(slot, k):
-        y0 = start_ref[0, k, 1]
+        # 8-aligned by construction; the hint lets Mosaic prove it.
+        y0 = pl.multiple_of(start_ref[0, k, 1], 8)
         for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
             pltpu.make_async_copy(
-                src.at[frame, pl.ds(y0, patch), :],
+                src.at[frame, pl.ds(y0, rows_block), :],
                 rows.at[slot, f],
                 sems.at[slot, f],
             ).start()
 
     def wait_dma(slot, k):
-        y0 = start_ref[0, k, 1]
+        y0 = pl.multiple_of(start_ref[0, k, 1], 8)
         for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
             pltpu.make_async_copy(
-                src.at[frame, pl.ds(y0, patch), :],
+                src.at[frame, pl.ds(y0, rows_block), :],
                 rows.at[slot, f],
                 sems.at[slot, f],
             ).wait()
@@ -60,18 +63,21 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
 
         wait_dma(slot, k)
 
-        x0 = start_ref[0, k, 0]
         y0 = start_ref[0, k, 1]
         px = peak_ref[0, k, 0]
         py = peak_ref[0, k, 1]
 
-        band = rows[slot, 0, :, pl.ds(x0, patch)]
-        area = rows[slot, 1, :, pl.ds(x0, patch)]
-        gray = rows[slot, 2, :, pl.ds(x0, patch)]
+        # Full-width row blocks: Mosaic cannot take unaligned dynamic slices
+        # in the lane dimension, and the radial cutoff gate already bounds
+        # the active columns, so reduce over (patch, W) with masks instead.
+        band = rows[slot, 0]
+        area = rows[slot, 1]
+        gray = rows[slot, 2]
 
-        col = jax.lax.broadcasted_iota(jnp.float32, (patch, patch), 1)
-        row = jax.lax.broadcasted_iota(jnp.float32, (patch, patch), 0)
-        dx = col + (x0.astype(jnp.float32) - px)
+        # Mosaic iota must be integer-typed; cast after.
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows_block, width), 1).astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows_block, width), 0).astype(jnp.float32)
+        dx = col - px
         dy = row + (y0.astype(jnp.float32) - py)
 
         keep = (dx * dx + dy * dy) <= cutoff * cutoff
@@ -97,7 +103,8 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
             jnp.sum(w * dx * dx), jnp.sum(w * dy * dy), jnp.sum(w * dx * dy),
             lo, hi, jnp.sum(cut),
         ])
-        out_ref[0, k, :] = vals
+        for i in range(vals.shape[0]):
+            out_ref[0, k, i] = vals[i]
         return ()
 
     jax.lax.fori_loop(0, k_total, body, ())
@@ -126,8 +133,11 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
 
     half = p // 2
+    rows_block = p + 8  # slack so the 8-aligned start still covers the window
     cx = jnp.clip(jnp.round(peaks.xy[..., 0]).astype(jnp.int32) - half, 0, w - p)
     cy = jnp.clip(jnp.round(peaks.xy[..., 1]).astype(jnp.int32) - half, 0, h - p)
+    # Mosaic DMA row offsets must be multiples of the f32 sublane tiling (8).
+    cy = jnp.clip((cy // 8) * 8, 0, max(h - rows_block, 0))
     start = jnp.stack([cx, cy], axis=-1)                       # (B, K, 2)
     rhs = jnp.minimum(geom.rhs, 3e38)
     geom_packed = jnp.stack(
@@ -136,7 +146,7 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
          geom.ex[..., 2], geom.ey[..., 2], rhs[..., 2]],
         axis=-1).astype(jnp.float32)                           # (B, K, 9)
 
-    kern = functools.partial(_kernel, patch=p, width=w,
+    kern = functools.partial(_kernel, rows_block=rows_block, width=w,
                              cutoff=float(profile.radial_cutoff_px))
     out = pl.pallas_call(
         kern,
@@ -154,9 +164,9 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),       # gray
         ],
         out_specs=pl.BlockSpec((1, k, NUM_SUMS), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+                               memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, p, w), jnp.float32),
+            pltpu.VMEM((2, 3, rows_block, w), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
