@@ -43,7 +43,7 @@ def _id_from_row_col(row: np.ndarray, col: np.ndarray) -> np.ndarray:
     return np.where(r == 0, 1, bases[r] + np.mod(col.astype(int), counts[r]))
 
 
-def write_tracking_csv(path: str, tracked, ring=None) -> None:
+def write_tracking_csv(path: str, tracked) -> None:
     """Write a TrackedFrames batch to the canonical tracking CSV."""
     import numpy as _np
     xy = _np.asarray(tracked.xy)

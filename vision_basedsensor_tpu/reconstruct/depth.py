@@ -26,17 +26,17 @@ def reconstruct_positions(cam: CameraModel, uv: jnp.ndarray,
       valid: ``(...,)`` observation mask.
 
     Applies the reference's gates: markers smaller than
-    ``min_marker_size_px`` are dropped (``3d_reconstruction.py:173-176``),
-    positions must be finite (:231-232), markers too close to the principal
-    point are rejected (:216-217).
+    ``min_marker_size_px`` are dropped (``3d_reconstruction.py:173-176``) and
+    positions must be finite (:231-232). The reference additionally rejects
+    markers within 1e-6 px of the principal point (:216-217) — that gate is
+    NOT replicated: the depth formula has no singularity at R = 0
+    (d_eff = D there), and an exactly-centered marker is a legitimate
+    observation (the apex marker sits on the axis by design).
 
     Returns (world positions ``(..., 3)``, updated validity).
     """
     uv_u = cam_mod.undistort_points(cam, uv, iters=cfg.undistort_iters)
-    du = uv_u[..., 0] - cam.cx
-    dv = uv_u[..., 1] - cam.cy
-    r2 = du * du + dv * dv
-    ok = valid & (diameter_px >= cfg.min_marker_size_px) & (r2 >= 1e-12)
+    ok = valid & (diameter_px >= cfg.min_marker_size_px)
     world = cam_mod.backproject_depth_from_diameter(
         cam, uv_u, diameter_px, cfg.marker_diameter_mm)
     ok = ok & jnp.all(jnp.isfinite(world), axis=-1)
