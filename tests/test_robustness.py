@@ -1,0 +1,85 @@
+"""Robustness: empty frames, occlusion, high-res profile, noise."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu import layout
+from vision_basedsensor_tpu.config import (
+    DetectConfig,
+    PipelineConfig,
+    ReconstructConfig,
+    TrackConfig,
+)
+from vision_basedsensor_tpu.detect import detect_markers
+from vision_basedsensor_tpu.pipeline import run_video
+from vision_basedsensor_tpu.synth import default_scene, render_frames
+from vision_basedsensor_tpu.track import assign_identities, associate
+
+
+def _cfg():
+    return PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))
+
+
+def test_empty_frame_no_detections():
+    frames = jnp.full((1, 240, 320), 190.0, jnp.float32)
+    det = detect_markers(frames, DetectConfig())
+    assert not bool(np.asarray(det.valid).any())
+
+
+def test_empty_video_pipeline_runs():
+    """A video with no markers must flow through without NaNs or crashes."""
+    scene = default_scene(240, 320)
+    frames = jnp.full((3, 240, 320), 190.0, jnp.float32)
+    out = run_video(frames, scene.cam, _cfg(), apply_warmup=False)
+    assert not bool(np.asarray(out.recon.seen).any())
+    assert np.isfinite(np.asarray(out.recon.cum_path)).all()
+
+
+def test_occlusion_drops_only_hidden_markers():
+    """Markers hidden after frame 0 drop out; the rest keep tracking
+    (per-marker continue-on-failure, 3d_reconstruction.py:309-311 analog)."""
+    scene = default_scene(480, 640)
+    hidden = np.zeros(65, bool)
+    hidden[[9, 20, 33, 50]] = True
+    zero = jnp.zeros((65, 3), jnp.float32)
+    f0 = render_frames(scene, zero[None])
+    f1 = render_frames(scene, zero[None],
+                       marker_mask=jnp.asarray(~hidden))
+    frames = jnp.concatenate([f0, f1])
+    out = run_video(frames, scene.cam, _cfg(), apply_warmup=False)
+    seen = np.asarray(out.recon.seen)
+    assert seen[0].sum() == 65
+    assert not seen[1][hidden].any()
+    assert seen[1][~hidden].sum() >= 59
+
+
+def test_sensor_noise_tolerance(rng):
+    """Additive sensor noise (sigma=3 gray levels): all markers still found;
+    centroid scatter stays within the photometric estimator's noise floor
+    (~0.2 px median at 2% weight noise over ~300 active pixels)."""
+    scene = default_scene(480, 640)
+    clean = np.asarray(render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32)))[0]
+    noisy = np.clip(clean + rng.normal(0, 3.0, clean.shape), 0, 255)
+    det_c = detect_markers(jnp.asarray(clean, jnp.float32), DetectConfig())
+    det_n = detect_markers(jnp.asarray(noisy, jnp.float32), DetectConfig())
+    assert int(np.asarray(det_n.valid).sum()) >= 64
+    xc = np.asarray(det_c.xy)[np.asarray(det_c.valid)]
+    xn = np.asarray(det_n.xy)[np.asarray(det_n.valid)]
+    errs = np.array([np.linalg.norm(xc - p, axis=1).min() for p in xn])
+    assert np.median(errs) < 0.3
+    assert np.percentile(errs, 90) < 0.7
+
+
+def test_high_res_profile_end_to_end():
+    """960x1280 frames select the >480-row profile (marker_detection.py:117)
+    and the full pipeline still finds and reconstructs the dome."""
+    scene = default_scene(960, 1280)
+    zero = jnp.zeros((65, 3), jnp.float32)
+    dz = jnp.asarray([0.0, 0.0, -1.0]) + zero
+    frames = render_frames(scene, jnp.stack([zero, dz]))
+    out = run_video(frames, scene.cam, _cfg(), apply_warmup=False)
+    seen = np.asarray(out.recon.seen)
+    assert seen[0].sum() >= 60, f"high-res frame 0 tracked {seen[0].sum()}"
+    ffn = np.asarray(out.recon.from_first_norm)[1]
+    np.testing.assert_allclose(ffn[seen[1]].mean(), 1.0, atol=0.15)

@@ -49,7 +49,12 @@ def default_scene(height: int = 480, width: int = 640,
     constants) are tuned for.
     """
     if camera_z_mm is None:
-        camera_z_mm = -40.0 * (width / 640.0)
+        # Small frames move the camera closer so markers stay ~20 px (the
+        # low-res profile's sweet spot); above 640 px the distance stays
+        # fixed so markers grow with resolution, matching the reference's
+        # high-res profile constants (blur 101, template ~81 expect ~2x
+        # larger blobs at >480 rows).
+        camera_z_mm = -40.0 * min(width / 640.0, 1.0)
     f = 0.625 * width  # outer ring (r=16.29 @ depth ~45) stays inside the frame
     cam = CameraModel.create(
         fx=f, fy=f, cx=width / 2, cy=height / 2,
