@@ -118,3 +118,19 @@ def test_cli_calibrate(tmp_path, capsys, rng):
     assert os.path.exists(out_e)
     txt = capsys.readouterr().out
     assert "inliers" in txt
+
+
+def test_cli_diameter(tmp_path, capsys):
+    import sys as _sys, pathlib as _pl
+    _sys.path.insert(0, str(_pl.Path(__file__).parent))
+    from test_chessboard import _disk_image
+    img = _disk_image()
+    p = str(tmp_path / "dia.npy")
+    np.save(p, img)
+    plot = str(tmp_path / "dia.png")
+    main(["diameter", p, "--scale", "5.0", "--plot", plot])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l and not l.startswith(("#", "wrote", "["))]
+    assert lines[0].startswith("x,y,diameter_mm")
+    assert len(lines) == 4  # header + 3 disks
+    assert os.path.exists(plot)

@@ -110,3 +110,19 @@ def test_associate_batched(scene, rest_det):
     tracked = associate(ref, det, 20.0)
     assert tracked.xy.shape == (3, 65, 2)
     assert np.asarray(tracked.valid).all()
+
+
+def test_kmeans_matches_sklearn(rng):
+    """Our fixed-iteration KMeans agrees with sklearn on ring-radius data
+    (the reference's clusterer, marker_detection.py:308-309)."""
+    sklearn_cluster = pytest.importorskip("sklearn.cluster")
+    radii = np.concatenate([rng.normal(c, 1.0, n) for c, n in
+                            [(35, 6), (62, 12), (92, 18), (120, 24), (143, 4)]])
+    ours_c, ours_l = kmeans_1d(jnp.asarray(radii), jnp.ones(len(radii), bool), 5, 32)
+    km = sklearn_cluster.KMeans(n_clusters=5, n_init=10, random_state=0)
+    km.fit(radii.reshape(-1, 1))
+    sk_c = np.sort(km.cluster_centers_.ravel())
+    np.testing.assert_allclose(np.asarray(ours_c), sk_c, atol=1e-6)
+    sk_order = np.argsort(km.cluster_centers_.ravel())
+    sk_l = np.argsort(sk_order)[km.labels_]
+    np.testing.assert_array_equal(np.asarray(ours_l), sk_l)

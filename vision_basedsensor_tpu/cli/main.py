@@ -210,6 +210,62 @@ def cmd_synth(args):
     print(f"wrote {args.output} {frames.shape}")
 
 
+def cmd_diameter(args):
+    """Marker-diameter precision validation (reference C19)."""
+    import jax.numpy as jnp
+    from vision_basedsensor_tpu.analysis.diameter import (
+        chessboard_scale, measure_diameters)
+    from vision_basedsensor_tpu.calibrate.chessboard import find_chessboard
+    from vision_basedsensor_tpu.core.imaging import to_grayscale
+    if args.image.endswith(".npy"):
+        img = np.load(args.image)
+    else:
+        import cv2
+        img = cv2.imread(args.image)
+    gray = np.asarray(to_grayscale(jnp.asarray(img)))
+
+    if args.scale:
+        scale = args.scale
+    else:
+        board = find_chessboard(gray, tuple(args.pattern))
+        if not board.found:
+            print("[ERROR] Chessboard not found; pass --scale px/mm instead")
+            return 1
+        scale = chessboard_scale(board.corners, tuple(args.pattern),
+                                 args.square_mm)
+        print(f"[INFO] Scale: {scale:.2f} px/mm from chessboard")
+
+    res = measure_diameters(jnp.asarray(gray), scale,
+                            threshold=args.threshold,
+                            diameter_offset_mm=args.offset)
+    valid = np.asarray(res.valid)
+    d = np.asarray(res.diameters_mm)[valid]
+    c = np.asarray(res.centers)[valid]
+    print("x,y,diameter_mm,circularity")
+    for (x, y), dd, cc in zip(c, d, np.asarray(res.circularity)[valid]):
+        print(f"{x:.1f},{y:.1f},{dd:.3f},{cc:.3f}")
+    print(f"# Mean Diameter: {d.mean():.3f} mm", file=sys.stderr)
+    print(f"# Std Deviation: {d.std():.3f} mm", file=sys.stderr)
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(10, 6))
+        ids = np.arange(1, len(d) + 1)
+        ax.bar(ids, d, color="skyblue", edgecolor="black", label="Measured")
+        ax.axhline(2.0, color="red", linestyle="--", label="Spec (2 mm)")
+        ax.set(title="Marker Diameter Analysis", xlabel="Marker ID",
+               ylabel="Diameter (mm)")
+        ax.text(0.98, 0.98, f"Count: {len(d)}\nMean: {d.mean():.2f} mm\n"
+                f"Std Dev: {d.std():.2f} mm", transform=ax.transAxes,
+                va="top", ha="right",
+                bbox=dict(facecolor="white", alpha=0.8))
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=150)
+        print(f"wrote {args.plot}")
+
+
 def cmd_run_live(args):
     """Consume a live MJPEG stream (or any source) through the pipeline."""
     from vision_basedsensor_tpu.io.mjpeg import MjpegVideoSource
@@ -309,6 +365,16 @@ def main(argv=None):
     s.add_argument("--height", type=int, default=480)
     s.add_argument("--width", type=int, default=640)
     s.set_defaults(fn=cmd_synth)
+
+    dm = sub.add_parser("diameter", help="marker diameter validation (C19)")
+    dm.add_argument("image")
+    dm.add_argument("--pattern", type=int, nargs=2, default=[6, 6])
+    dm.add_argument("--square-mm", type=float, default=3.0)
+    dm.add_argument("--scale", type=float, help="px/mm (skip chessboard)")
+    dm.add_argument("--threshold", type=float, help="binary threshold (default Otsu)")
+    dm.add_argument("--offset", type=float, default=0.0)
+    dm.add_argument("--plot")
+    dm.set_defaults(fn=cmd_diameter)
 
     rl = sub.add_parser("run-live", help="process a live MJPEG stream")
     rl.add_argument("url")
