@@ -53,7 +53,7 @@ def calibrate_from_images(images: Iterable[np.ndarray],
     for i, img in enumerate(images):
         gray = np.asarray(to_grayscale(jnp.asarray(img)))
         if crop_ratios is not None:
-            gray = np.asarray(crop_frames(jnp.asarray(gray), gray.shape, tuple(crop_ratios)))
+            gray = np.asarray(crop_frames(jnp.asarray(gray), crop_ratios=tuple(crop_ratios)))
         res = find_chessboard(gray, pattern_size)
         if not res.found:
             continue

@@ -97,6 +97,12 @@ class TrackConfig:
     # camera roll needs a nonzero offset.
     angle_sign: float = 1.0
     angle_offset_deg: float = 0.0
+    # Estimate each ring's angular phase from the detections before slot
+    # assignment (circular mean of the residuals modulo the ring step).
+    # Handles real hardware whose printed rings are rotated relative to the
+    # nominal table — e.g. the reference prototype's outermost markers sit
+    # ~45 deg off the published cardinal positions in img/raw_markers.png.
+    per_ring_phase: bool = True
     # Ring assignment method:
     #   "layout_prior" (default): consensus-scale match against the known
     #     dome ring radii — robust to clutter detections and unbalanced ring
@@ -109,7 +115,11 @@ class TrackConfig:
     # beyond the gate (e.g. deep indentation), detection stays batched.
     association_mode: str = "frame0"
     ring_method: str = "layout_prior"
-    ring_tolerance: float = 0.06          # residual gate, fraction of outer radius
+    # Residual gate as a fraction of the outer radius; 0.09 sits just under
+    # the smallest half-gap between expected rings (~0.088) and accommodates
+    # real-hardware depth deviation from the nominal geometry (the reference
+    # prototype's cardinals sit ~8% off the hinted radius in raw_markers.png).
+    ring_tolerance: float = 0.09
     camera_distance_hint_mm: float = 40.0  # nominal camera-to-apex distance for
     # perspective-corrected expected ring radii (exact value uncritical).
 

@@ -170,15 +170,26 @@ def morph_open(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
     return max_filter(min_filter(mask, ksize), ksize)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def crop_frames(frames: jnp.ndarray, hw: tuple[int, int],
-                crop_ratios: tuple[float, float, float, float]) -> jnp.ndarray:
+def frame_hw(frames) -> tuple[int, int]:
+    """(H, W) of a frame array, channel-last aware (trailing dim <= 4)."""
+    if frames.ndim >= 3 and frames.shape[-1] <= 4:
+        return frames.shape[-3], frames.shape[-2]
+    return frames.shape[-2], frames.shape[-1]
+
+
+def crop_frames(frames: jnp.ndarray, hw: tuple[int, int] | None = None,
+                crop_ratios: tuple[float, float, float, float] = (0, 0, 0, 0)
+                ) -> jnp.ndarray:
     """Ratio crop (left, right, top, bottom), matching
-    ``marker_detection.py:81-85`` integer arithmetic. ``hw`` is the full
-    (H, W); crop bounds are static so shapes stay fixed under jit."""
+    ``marker_detection.py:81-85`` integer arithmetic. Handles both
+    ``(..., H, W)`` and channel-last ``(..., H, W, C<=4)`` layouts; crop
+    bounds derive from static shapes so results stay fixed-shape under jit."""
+    hw = frame_hw(frames) if hw is None else hw
     h, w = hw
     left = int(w * crop_ratios[0])
     right = w - int(w * crop_ratios[1])
     top = int(h * crop_ratios[2])
     bottom = h - int(h * crop_ratios[3])
+    if frames.ndim >= 3 and frames.shape[-1] <= 4:
+        return frames[..., top:bottom, left:right, :]
     return frames[..., top:bottom, left:right]

@@ -76,7 +76,7 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
     )
     def step(frames: jnp.ndarray, ref: ReferenceMarkers) -> PipelineOutputs:
         if crop:
-            frames_c = crop_frames(frames, frames.shape[-2:], cfg.crop_ratios)
+            frames_c = crop_frames(frames, crop_ratios=cfg.crop_ratios)
         else:
             frames_c = frames
         det = detect_markers(frames_c, cfg.detect)

@@ -45,7 +45,7 @@ def initialize(first_frame: jnp.ndarray, cfg: PipelineConfig,
                crop: bool = False) -> ReferenceMarkers:
     """Frame-0 prologue: detect markers and assign canonical identities."""
     if crop:
-        first_frame = crop_frames(first_frame, first_frame.shape[-2:], cfg.crop_ratios)
+        first_frame = crop_frames(first_frame, crop_ratios=cfg.crop_ratios)
     det = detect_markers(first_frame, cfg.detect)
     return assign_identities(det, cfg.track)
 
@@ -57,7 +57,7 @@ def process_frames(frames: jnp.ndarray, ref: ReferenceMarkers,
                    apply_warmup: bool = False) -> PipelineOutputs:
     """Steady-state pipeline over a frame batch ``(B, H, W[, 3])``."""
     if crop:
-        frames = crop_frames(frames, frames.shape[-2:], cfg.crop_ratios)
+        frames = crop_frames(frames, crop_ratios=cfg.crop_ratios)
     det = detect_markers(frames, cfg.detect)
     if cfg.track.association_mode == "sequential":
         tracked = associate_sequential(ref, det, cfg.track.min_marker_distance_px)

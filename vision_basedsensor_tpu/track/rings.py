@@ -144,7 +144,24 @@ def assign_identities(det: Detections, cfg: TrackConfig) -> ReferenceMarkers:
     steps = jnp.asarray(layout.RING_STEP_DEG, xy.dtype)
     r = jnp.clip(ring, 0, layout.NUM_RINGS)
     stepd = jnp.where(r == 0, 1.0, steps[r])
-    slot = jnp.round((theta_world - starts[r]) / stepd).astype(jnp.int32)
+
+    phase = jnp.zeros_like(theta_world)
+    if cfg.per_ring_phase:
+        # Per-ring angular phase: circular mean of the slot residuals.
+        # Real rings can be rotated vs the nominal table (the reference
+        # prototype's outer markers sit ~45 deg off the published cardinals).
+        for k in range(1, layout.NUM_RINGS + 1):
+            in_ring = mask & (ring == k)
+            step_k = float(layout.RING_STEP_DEG[k])
+            resid = (theta_world - float(layout.RING_START_DEG[k])) / step_k
+            frac = 2.0 * jnp.pi * (resid - jnp.floor(resid))
+            m = in_ring.astype(xy.dtype)
+            s = jnp.sum(m * jnp.sin(frac))
+            c = jnp.sum(m * jnp.cos(frac))
+            off = jnp.arctan2(s, c) / (2.0 * jnp.pi) * step_k
+            phase = jnp.where(in_ring, off, phase)
+
+    slot = jnp.round((theta_world - phase - starts[r]) / stepd).astype(jnp.int32)
     slot = jnp.mod(slot, counts[r])
     marker_id = jnp.where(r == 0, 1, bases[r] + slot)
 
