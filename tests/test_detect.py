@@ -114,8 +114,10 @@ def test_diameter_accuracy(scene, rest_frame):
         i = np.argmin(np.linalg.norm(got_xy - t_uv, axis=1))
         rel.append(abs(got_major[i] - t_d) / t_d)
     rel = np.array(rel)
-    assert np.median(rel) < 0.04, f"median diameter rel err {np.median(rel):.4f}"
-    assert rel.max() < 0.06, f"max diameter rel err {rel.max():.4f}"
+    # Half-level-area de-biasing (ops/moments.py sum 18) brings the
+    # moment-based estimate to ~0.3% median.
+    assert np.median(rel) < 0.01, f"median diameter rel err {np.median(rel):.4f}"
+    assert rel.max() < 0.02, f"max diameter rel err {rel.max():.4f}"
 
 
 def test_detection_tracks_displacement(scene):

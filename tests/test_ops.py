@@ -87,3 +87,13 @@ def test_find_peaks_batched():
     peaks = find_peaks(ncc, 0.1, 9, 16, 9.0)
     assert peaks.xy.shape == (2, 16, 2)
     np.testing.assert_array_equal(np.asarray(peaks.valid[0]), np.asarray(peaks.valid[1]))
+
+
+def test_ncc_binary_shortcut_exact(rng):
+    """The binary-input NCC path (2 fewer filter passes) must match the
+    general path to float tolerance on 0/1 masks."""
+    mask = (rng.random((90, 120)) > 0.85).astype(np.float32)
+    mask = cv2.dilate(mask.astype(np.uint8), np.ones((5, 5), np.uint8)).astype(np.float32)
+    a = np.asarray(normxcorr_gaussian(jnp.asarray(mask), 33, 7.4))
+    b = np.asarray(normxcorr_gaussian(jnp.asarray(mask), 33, 7.4, binary_input=True))
+    np.testing.assert_allclose(a, b, atol=2e-4)

@@ -88,6 +88,6 @@ def test_reconstruction_absolute_positions():
     seen = np.asarray(out.recon.seen)[1]
     truth = layout.dome_layout()[:, 1:]
     err = np.linalg.norm(world[seen] - truth[seen], axis=1)
-    # Depth-from-diameter carries a few-percent scale bias (diameter estimate
-    # bias maps 1:1 into depth); at ~40 mm depth that is ~1.5 mm absolute.
-    assert np.median(err) < 2.0, f"median abs position error {np.median(err):.2f} mm"
+    # With the de-biased diameter estimate (~0.3%), absolute positions land
+    # within a few tenths of a mm at ~40 mm depth.
+    assert np.median(err) < 0.4, f"median abs position error {np.median(err):.2f} mm"

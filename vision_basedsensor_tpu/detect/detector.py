@@ -72,7 +72,7 @@ def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
     else:
         sums = jax.vmap(lambda b, a, g, p, gm: window_sums_xla(b, a, g, p, gm, profile)
                         )(band, area_open, gray, peaks, geom)
-    fin = finalize(sums, peaks.xy)
+    fin = finalize(sums, peaks.xy, peaks.valid)
 
     # Reference-parity center: centroid of the boundary band of the NCC
     # superlevel mask — the region the reference's maximum/minimum_filter +
@@ -123,7 +123,7 @@ def detect_markers(frames: jnp.ndarray, cfg: DetectConfig,
 
     area = dog_area_mask(gray, profile, cfg.dog_offset)
     ncc = normxcorr_gaussian(area.astype(jnp.float32), profile.template_size,
-                             profile.template_sigma)
+                             profile.template_sigma, binary_input=True)
     ncc_mask = (ncc > cfg.ncc_threshold).astype(jnp.float32)
     # Boundary band of the NCC mask: mask pixels whose band_window
     # neighborhood touches background (see _detect_batched).

@@ -15,17 +15,25 @@ Coordinates in the sums are RELATIVE to the peak (dx, dy in [-P/2, P/2]):
 raw second moments around absolute pixel coordinates would lose ~5 digits to
 cancellation in f32. ``finalize`` adds the peak positions back.
 
-Sum layout (last axis, size 18):
+Sum layout (last axis, size 24):
   0:  band * cut                      (band-centroid denominator)
   1:  band * cut * dx    2: * dy      (band-centroid numerators)
   3:  area * cut                      (ellipse m00)
   4:  area * cut * dx    5: * dy
   6:  area * cut * dx^2  7: * dy^2  8: * dx*dy
-  9:  photo * cut                     (photometric moments, weights
-  10: photo * cut * dx   11: * dy      w = (hi - gray)/(hi - lo) clipped)
-  12: photo * cut * dx^2 13: * dy^2 14: * dx*dy
-  15: min(gray) in cut   16: max(gray) in cut
-  17: count(cut)
+  9:  w * cut            10: * dx  11: * dy
+  12: w * cut * dx^2     13: * dy^2 14: * dx*dy
+      (photometric soft moments; w = (hi - gray)/(hi - lo) clipped — soft
+       weights give ~0.01 px centroids and clip-stable axes, but the soft
+       skirt inflates axes ~3%)
+  15: h * cut            16: * dx  17: * dy
+  18: h * cut * dx^2     19: * dy^2 20: * dx*dy
+      (half-level moments; h = (w >= 0.5) — the half-level boundary is the
+       true marker edge for a symmetric profile: unbiased axes, but fragile
+       when a neighbor halfplane clips the blob. finalize() combines both:
+       soft axes rescaled by the per-frame median half/soft ratio.)
+  21: min(gray) in cut   22: max(gray) in cut
+  23: count(cut)
 """
 from __future__ import annotations
 
@@ -38,7 +46,7 @@ from vision_basedsensor_tpu.config import DetectProfile
 from vision_basedsensor_tpu.ops.patches import extract_patches, patch_coords
 from vision_basedsensor_tpu.ops.peaks import Peaks
 
-NUM_SUMS = 18
+NUM_SUMS = 24
 
 
 class CutGeometry(NamedTuple):
@@ -98,8 +106,9 @@ def window_sums_xla(band: jnp.ndarray, area: jnp.ndarray, gray: jnp.ndarray,
         return jnp.stack([(v * fx * fx).sum(-1), (v * fy * fy).sum(-1),
                           (v * fx * fy).sum(-1)], -1)
 
+    wh = (w >= 0.5).astype(jnp.float32)
     return jnp.concatenate([
-        m(fb), m(fa), m2(fa), m(w), m2(w),
+        m(fb), m(fa), m2(fa), m(w), m2(w), m(wh), m2(wh),
         lo[:, None], hi[:, None], c.sum(-1)[:, None],
     ], axis=-1)
 
@@ -131,15 +140,37 @@ def _ellipse(m0, mx, my, mxx, myy, mxy):
     return jnp.stack([cx, cy], -1), major, minor, angle
 
 
-def finalize(sums: jnp.ndarray, peak_xy: jnp.ndarray) -> Finalized:
-    """Closed-form candidate geometry from the 18 window sums (peak-relative
-    coordinates; centers are shifted back by ``peak_xy``)."""
+def finalize(sums: jnp.ndarray, peak_xy: jnp.ndarray,
+             valid: jnp.ndarray | None = None) -> Finalized:
+    """Closed-form candidate geometry from the 24 window sums (peak-relative
+    coordinates; centers are shifted back by ``peak_xy``).
+
+    Photometric axes: soft-moment axes (clip-stable) rescaled by the
+    per-BATCH median of the half-level/soft major-axis ratio over ``valid``
+    candidates — the soft skirt's ~3% inflation is uniform across markers,
+    the half-level estimate is unbiased where blobs are unclipped, and a
+    single robust scalar transfers that calibration to every marker
+    (including clipped ones). One scalar for the whole batch keeps
+    frame-to-frame displacement differentials exact; only chunk boundaries
+    of a streaming run can see a (clamped, ~1%) scale step.
+    """
     s = sums
     bc = jnp.stack([s[..., 1], s[..., 2]], -1) / jnp.maximum(s[..., 0:1], 1e-12)
     ac, a_major, a_minor, a_angle = _ellipse(s[..., 3], s[..., 4], s[..., 5],
                                              s[..., 6], s[..., 7], s[..., 8])
     pc, p_major, p_minor, p_angle = _ellipse(s[..., 9], s[..., 10], s[..., 11],
                                              s[..., 12], s[..., 13], s[..., 14])
+    _, h_major, _, _ = _ellipse(s[..., 15], s[..., 16], s[..., 17],
+                                s[..., 18], s[..., 19], s[..., 20])
+
+    ratio = jnp.where((p_major > 1.0) & (h_major > 1.0) &
+                      (jnp.ones_like(p_major, bool) if valid is None else valid),
+                      h_major / jnp.maximum(p_major, 1e-9), jnp.nan)
+    scale = jnp.nanmedian(ratio)  # one scalar across the whole batch
+    scale = jnp.where(jnp.isfinite(scale), jnp.clip(scale, 0.9, 1.05), 1.0)
+    p_major = p_major * scale
+    p_minor = p_minor * scale
+
     return Finalized(
         band_center=bc + peak_xy, photo_center=pc + peak_xy,
         area_center=ac + peak_xy,

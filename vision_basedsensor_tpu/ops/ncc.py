@@ -19,13 +19,28 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import functools
+
 import numpy as np
 
 from vision_basedsensor_tpu.core.imaging import conv_same_zero, gaussian_taps
 
 
+@functools.lru_cache(maxsize=16)
+def _box_count(h: int, w: int, ksize: int) -> np.ndarray:
+    """In-image pixel count of each zero-padded 'same' box window."""
+    lo, hi = (ksize - 1) // 2, ksize // 2
+
+    def axis_count(n):
+        i = np.arange(n)
+        return (np.minimum(i + hi, n - 1) - np.maximum(i - lo, 0) + 1.0)
+
+    return np.outer(axis_count(h), axis_count(w)).astype(np.float32)
+
+
 def normxcorr_gaussian(image: jnp.ndarray, ksize: int, sigma: float,
-                       min_variance: float = 0.5) -> jnp.ndarray:
+                       min_variance: float = 0.5,
+                       binary_input: bool = False) -> jnp.ndarray:
     """NCC of ``image`` ``(..., H, W)`` with a unit-sum Gaussian template.
 
     Matches ``MarkerTracker._normxcorr2(_gkern(ksize, sigma), image)``
@@ -33,19 +48,32 @@ def normxcorr_gaussian(image: jnp.ndarray, ksize: int, sigma: float,
     scaling (NCC is scale-invariant, so the reference's 0/255 mask and a 0/1
     mask give identical scores).
     """
-    image = jnp.asarray(image, jnp.float32)
+    raw = jnp.asarray(image, jnp.float32)
     # The reference subtracts the global image mean before correlating
     # (:152-153). In the interior this cancels exactly (the zero-mean
     # template annihilates constants), but it changes what the zero-padded
     # borders mean, so it is replicated for bit-level parity there too.
-    image = image - jnp.mean(image, axis=(-2, -1), keepdims=True)
+    mu = jnp.mean(raw, axis=(-2, -1), keepdims=True)
+    image = raw - mu
     g = gaussian_taps(ksize, sigma)
     n = float(ksize * ksize)
     ones = np.ones(ksize)
 
     corr_g = conv_same_zero(image, g, g)
     box1 = conv_same_zero(image, ones, ones)
-    box2 = conv_same_zero(image * image, ones, ones)
+    if binary_input:
+        # For 0/1 inputs raw^2 == raw, so with m = raw - mu:
+        #   box(m^2) = (1 - 2 mu) box(raw) + mu^2 * count
+        #   box(raw) = box(m) + mu * count
+        # where count is the (input-independent) number of in-image pixels
+        # each zero-padded box window covers — a closed-form constant, so
+        # this saves two of the six filter passes.
+        count = jnp.asarray(_box_count(image.shape[-2], image.shape[-1], ksize),
+                            image.dtype)
+        box_raw = box1 + mu * count
+        box2 = (1.0 - 2.0 * mu) * box_raw + mu * mu * count
+    else:
+        box2 = conv_same_zero(image * image, ones, ones)
 
     num = corr_g - box1 / n
     var_n = jnp.maximum(box2 - box1 * box1 / n, 0.0)

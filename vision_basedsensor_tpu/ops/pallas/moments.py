@@ -95,12 +95,15 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
         hi = jnp.max(jnp.where(keep, gray, -jnp.inf))
         w = jnp.clip((hi - gray) / jnp.maximum(hi - lo, 1e-3), 0.0, 1.0) * cut
 
+        wh = (w >= 0.5).astype(jnp.float32)
         vals = jnp.stack([
             jnp.sum(b), jnp.sum(b * dx), jnp.sum(b * dy),
             jnp.sum(a), jnp.sum(a * dx), jnp.sum(a * dy),
             jnp.sum(a * dx * dx), jnp.sum(a * dy * dy), jnp.sum(a * dx * dy),
             jnp.sum(w), jnp.sum(w * dx), jnp.sum(w * dy),
             jnp.sum(w * dx * dx), jnp.sum(w * dy * dy), jnp.sum(w * dx * dy),
+            jnp.sum(wh), jnp.sum(wh * dx), jnp.sum(wh * dy),
+            jnp.sum(wh * dx * dx), jnp.sum(wh * dy * dy), jnp.sum(wh * dx * dy),
             lo, hi, jnp.sum(cut),
         ])
         for i in range(vals.shape[0]):
