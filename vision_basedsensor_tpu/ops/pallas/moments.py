@@ -6,13 +6,13 @@ This kernel instead walks the K peaks inside one program per frame,
 double-buffering row-block DMAs HBM->VMEM and accumulating all 18 moment
 sums in VMEM — each window's pixels cross the memory system exactly once.
 
-Layout: for peak k the kernel copies ``P+8`` full image rows (contiguous
-DMA, 8-aligned start per Mosaic's f32 sublane tiling) for each of the three
-fields into a ``(2, 3, P+8, W)`` VMEM scratch (two slots for overlap), then
-reduces over the full row block with the radial-cutoff + halfplane gates
-selecting the active pixels (unaligned lane slices are not lowerable, and
-the gates bound the region anyway). Peak coordinates, halfplane parameters,
-and the 18 output sums live in SMEM.
+Layout: for peak k the kernel copies a ``(P+8, 256)`` aligned window
+(8-aligned rows per Mosaic's f32 sublane tiling, 128-aligned columns per the
+lane tiling) for each of the three fields into a two-slot VMEM scratch, then
+reduces with the radial-cutoff + halfplane gates selecting the active pixels
+(unaligned slices are not lowerable; the gates bound the region anyway, and
+the aligned 256-column window always contains the full cutoff disk). Peak
+coordinates, halfplane parameters, and the output sums live in SMEM.
 """
 from __future__ import annotations
 
@@ -29,28 +29,28 @@ from vision_basedsensor_tpu.ops.peaks import Peaks
 
 
 def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
-            out_ref, rows, sems, *, rows_block: int, width: int, cutoff: float):
+            out_ref, rows, sems, *, rows_block: int, cols_block: int,
+            cutoff: float):
     frame = pl.program_id(0)
     k_total = out_ref.shape[1]
 
-    def start_dma(slot, k):
-        # 8-aligned by construction; the hint lets Mosaic prove it.
+    def _dma(slot, k, f, src):
+        # Aligned by construction; the hints let Mosaic prove it.
         y0 = pl.multiple_of(start_ref[0, k, 1], 8)
+        x0 = pl.multiple_of(start_ref[0, k, 0], 128)
+        return pltpu.make_async_copy(
+            src.at[frame, pl.ds(y0, rows_block), pl.ds(x0, cols_block)],
+            rows.at[slot, f],
+            sems.at[slot, f],
+        )
+
+    def start_dma(slot, k):
         for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
-            pltpu.make_async_copy(
-                src.at[frame, pl.ds(y0, rows_block), :],
-                rows.at[slot, f],
-                sems.at[slot, f],
-            ).start()
+            _dma(slot, k, f, src).start()
 
     def wait_dma(slot, k):
-        y0 = pl.multiple_of(start_ref[0, k, 1], 8)
         for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
-            pltpu.make_async_copy(
-                src.at[frame, pl.ds(y0, rows_block), :],
-                rows.at[slot, f],
-                sems.at[slot, f],
-            ).wait()
+            _dma(slot, k, f, src).wait()
 
     start_dma(0, 0)
 
@@ -63,21 +63,21 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
 
         wait_dma(slot, k)
 
+        x0 = start_ref[0, k, 0]
         y0 = start_ref[0, k, 1]
         px = peak_ref[0, k, 0]
         py = peak_ref[0, k, 1]
 
-        # Full-width row blocks: Mosaic cannot take unaligned dynamic slices
-        # in the lane dimension, and the radial cutoff gate already bounds
-        # the active columns, so reduce over (patch, W) with masks instead.
+        # Aligned (rows_block, cols_block) window: the radial-cutoff gate
+        # selects the active pixels inside it.
         band = rows[slot, 0]
         area = rows[slot, 1]
         gray = rows[slot, 2]
 
         # Mosaic iota must be integer-typed; cast after.
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows_block, width), 1).astype(jnp.float32)
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows_block, width), 0).astype(jnp.float32)
-        dx = col - px
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows_block, cols_block), 1).astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows_block, cols_block), 0).astype(jnp.float32)
+        dx = col + (x0.astype(jnp.float32) - px)
         dy = row + (y0.astype(jnp.float32) - py)
 
         keep = (dx * dx + dy * dy) <= cutoff * cutoff
@@ -137,11 +137,15 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
 
     half = p // 2
     rows_block = p + 8  # slack so the 8-aligned start still covers the window
+    # Columns: a 128-aligned 256-wide window always contains the cutoff disk
+    # (disk x-span <= 2*cutoff + 128-alignment slack < 256 for cutoff <= 63).
+    cols_block = 256 if w >= 256 else w
     cx = jnp.clip(jnp.round(peaks.xy[..., 0]).astype(jnp.int32) - half, 0, w - p)
     cy = jnp.clip(jnp.round(peaks.xy[..., 1]).astype(jnp.int32) - half, 0, h - p)
-    # Mosaic DMA row offsets must be multiples of the f32 sublane tiling (8).
+    # Mosaic DMA offsets must be multiples of the (8, 128) f32 tiling.
     cy = jnp.clip((cy // 8) * 8, 0, max(h - rows_block, 0))
-    start = jnp.stack([cx, cy], axis=-1)                       # (B, K, 2)
+    cxa = jnp.clip((cx // 128) * 128, 0, max(w - cols_block, 0))
+    start = jnp.stack([cxa, cy], axis=-1)                      # (B, K, 2)
     rhs = jnp.minimum(geom.rhs, 3e38)
     geom_packed = jnp.stack(
         [geom.ex[..., 0], geom.ey[..., 0], rhs[..., 0],
@@ -149,7 +153,8 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
          geom.ex[..., 2], geom.ey[..., 2], rhs[..., 2]],
         axis=-1).astype(jnp.float32)                           # (B, K, 9)
 
-    kern = functools.partial(_kernel, rows_block=rows_block, width=w,
+    kern = functools.partial(_kernel, rows_block=rows_block,
+                             cols_block=cols_block,
                              cutoff=float(profile.radial_cutoff_px))
     out = pl.pallas_call(
         kern,
@@ -169,7 +174,7 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
         out_specs=pl.BlockSpec((1, k, NUM_SUMS), lambda b: (b, 0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, rows_block, w), jnp.float32),
+            pltpu.VMEM((2, 3, rows_block, cols_block), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
