@@ -35,7 +35,9 @@ def main() -> None:
     from vision_basedsensor_tpu.pipeline import initialize, process_frames
     from vision_basedsensor_tpu.synth import default_scene, render_frames
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    # Large batch amortizes the per-dispatch round-trip (the attached chip is
+    # tunneled; ~29 ms/call measured, i.e. 57 us/frame at B=512).
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     cfg = PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))

@@ -139,3 +139,16 @@ def test_detection_tracks_displacement(scene):
         shift_got = xy[1][valid[1]][i1] - xy[0][valid[0]][i0]
         shift_true = t1 - t0
         assert np.linalg.norm(shift_got - shift_true) < 0.15
+
+
+def test_fast_filters_bf16_equivalent(scene, rest_frame):
+    """bf16 filter matmuls (fast_filters): matched detections identical to
+    the f32 path to sub-0.01 px (8-bit pixel values are exact in bf16; only
+    slot ordering may differ via peak-score ties)."""
+    d32 = detect_markers(jnp.asarray(rest_frame), DetectConfig())
+    d16 = detect_markers(jnp.asarray(rest_frame), DetectConfig(fast_filters=True))
+    a = np.asarray(d32.xy)[np.asarray(d32.valid)]
+    b = np.asarray(d16.xy)[np.asarray(d16.valid)]
+    assert len(a) == len(b) == 65
+    errs = [np.linalg.norm(b - p, axis=1).min() for p in a]
+    assert max(errs) < 0.01

@@ -82,6 +82,12 @@ class DetectConfig:
     # 593 -> 176 us/frame), "xla" (gather + reduce), or "auto" (pallas on
     # TPU, xla elsewhere).
     backend: str = "auto"
+    # Run the DoG/NCC filter matmuls with bf16 operands (f32 accumulation).
+    # 8-bit pixel values are exact in bf16; band-matrix weights lose ~0.4%,
+    # shifting filtered values by ~0.2 gray levels — borderline threshold
+    # pixels can flip, moving centroids by ~0.01 px. Off by default for
+    # bit-level parity with the f32 path.
+    fast_filters: bool = False
 
 
 @dataclass(frozen=True)

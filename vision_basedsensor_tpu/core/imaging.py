@@ -101,24 +101,32 @@ def _band_matrix(taps: tuple, n: int, mode: str) -> np.ndarray:
     return T
 
 
-def _sep_filter(x: jnp.ndarray, taps_h, taps_w, mode: str) -> jnp.ndarray:
-    """Separable filter along (H, W) as two MXU matmuls."""
+def _sep_filter(x: jnp.ndarray, taps_h, taps_w, mode: str,
+                compute_dtype=None) -> jnp.ndarray:
+    """Separable filter along (H, W) as two MXU matmuls.
+
+    ``compute_dtype=jnp.bfloat16`` runs the matmuls with bf16 operands and
+    f32 accumulation (~2x MXU throughput). 8-bit image values are exact in
+    bf16; only the band-matrix weights lose ~0.4% relative precision, so
+    filtered values land within ~0.2 gray levels of the f32 path.
+    """
     h, w = x.shape[-2:]
-    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    acc = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    dt = acc if compute_dtype is None else compute_dtype
     y = x.astype(dt)
     if taps_h is not None:
         Th = jnp.asarray(_band_matrix(tuple(float(t) for t in taps_h), h, mode), dt)
         y = jnp.einsum("ik,...kw->...iw", Th, y,
-                       preferred_element_type=dt)
+                       preferred_element_type=acc).astype(dt)
     if taps_w is not None:
         Tw = jnp.asarray(_band_matrix(tuple(float(t) for t in taps_w), w, mode), dt)
         y = jnp.einsum("...hk,jk->...hj", y, Tw,
-                       preferred_element_type=dt)
-    return y
+                       preferred_element_type=acc)
+    return y.astype(acc)
 
 
 def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float,
-                  quantize: bool = False) -> jnp.ndarray:
+                  quantize: bool = False, compute_dtype=None) -> jnp.ndarray:
     """Separable Gaussian blur with BORDER_REFLECT_101, matching
     ``cv2.GaussianBlur(src, (k, k), sigma)``.
 
@@ -126,7 +134,7 @@ def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float,
     quantization of the reference's 8-bit pipeline.
     """
     k = gaussian_taps(ksize, sigma)
-    y = _sep_filter(x, k, k, "reflect101")
+    y = _sep_filter(x, k, k, "reflect101", compute_dtype)
     if quantize:
         y = jnp.floor(y + 0.5)
     return y
@@ -139,9 +147,9 @@ def box_sum(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
     return _sep_filter(x, ones, ones, "zero")
 
 
-def conv_same_zero(x: jnp.ndarray, kh, kw) -> jnp.ndarray:
+def conv_same_zero(x: jnp.ndarray, kh, kw, compute_dtype=None) -> jnp.ndarray:
     """Separable 'same' convolution with zero padding along (H, W)."""
-    return _sep_filter(x, np.asarray(kh), np.asarray(kw), "zero")
+    return _sep_filter(x, np.asarray(kh), np.asarray(kw), "zero", compute_dtype)
 
 
 def _reduce_window_2d(x: jnp.ndarray, ksize: int, init, op) -> jnp.ndarray:

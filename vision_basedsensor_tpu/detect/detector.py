@@ -121,9 +121,11 @@ def detect_markers(frames: jnp.ndarray, cfg: DetectConfig,
     if squeeze:
         gray = gray[None]
 
-    area = dog_area_mask(gray, profile, cfg.dog_offset)
+    fdt = jnp.bfloat16 if cfg.fast_filters else None
+    area = dog_area_mask(gray, profile, cfg.dog_offset, compute_dtype=fdt)
     ncc = normxcorr_gaussian(area.astype(jnp.float32), profile.template_size,
-                             profile.template_sigma, binary_input=True)
+                             profile.template_sigma, binary_input=True,
+                             compute_dtype=fdt)
     ncc_mask = (ncc > cfg.ncc_threshold).astype(jnp.float32)
     # Boundary band of the NCC mask: mask pixels whose band_window
     # neighborhood touches background (see _detect_batched).

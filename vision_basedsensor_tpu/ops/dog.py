@@ -16,7 +16,7 @@ from vision_basedsensor_tpu.core.imaging import gaussian_blur
 
 
 def dog_area_mask(gray: jnp.ndarray, profile: DetectProfile,
-                  offset: int = 15) -> jnp.ndarray:
+                  offset: int = 15, compute_dtype=None) -> jnp.ndarray:
     """Gray frames ``(..., H, W)`` (0..255 floats) -> boolean area mask.
 
     Exactly replicates ``im_blur_8 - im_blur_3 + 15`` in uint8 followed by
@@ -24,9 +24,9 @@ def dog_area_mask(gray: jnp.ndarray, profile: DetectProfile,
     outputs) and the difference is reduced modulo 256 before the range test.
     """
     b_small = gaussian_blur(gray, profile.blur_small_ksize, profile.blur_small_sigma,
-                            quantize=True)
+                            quantize=True, compute_dtype=compute_dtype)
     b_large = gaussian_blur(gray, profile.blur_large_ksize, profile.blur_large_sigma,
-                            quantize=True)
+                            quantize=True, compute_dtype=compute_dtype)
     d = b_large - b_small + float(offset)
     wrapped = jnp.mod(d, 256.0)
     return (wrapped >= profile.dog_threshold) & (wrapped <= profile.dog_high)

@@ -40,7 +40,8 @@ def _box_count(h: int, w: int, ksize: int) -> np.ndarray:
 
 def normxcorr_gaussian(image: jnp.ndarray, ksize: int, sigma: float,
                        min_variance: float = 0.5,
-                       binary_input: bool = False) -> jnp.ndarray:
+                       binary_input: bool = False,
+                       compute_dtype=None) -> jnp.ndarray:
     """NCC of ``image`` ``(..., H, W)`` with a unit-sum Gaussian template.
 
     Matches ``MarkerTracker._normxcorr2(_gkern(ksize, sigma), image)``
@@ -59,8 +60,8 @@ def normxcorr_gaussian(image: jnp.ndarray, ksize: int, sigma: float,
     n = float(ksize * ksize)
     ones = np.ones(ksize)
 
-    corr_g = conv_same_zero(image, g, g)
-    box1 = conv_same_zero(image, ones, ones)
+    corr_g = conv_same_zero(image, g, g, compute_dtype)
+    box1 = conv_same_zero(image, ones, ones, compute_dtype)
     if binary_input:
         # For 0/1 inputs raw^2 == raw, so with m = raw - mu:
         #   box(m^2) = (1 - 2 mu) box(raw) + mu^2 * count
@@ -73,7 +74,7 @@ def normxcorr_gaussian(image: jnp.ndarray, ksize: int, sigma: float,
         box_raw = box1 + mu * count
         box2 = (1.0 - 2.0 * mu) * box_raw + mu * mu * count
     else:
-        box2 = conv_same_zero(image * image, ones, ones)
+        box2 = conv_same_zero(image * image, ones, ones, compute_dtype)
 
     num = corr_g - box1 / n
     var_n = jnp.maximum(box2 - box1 * box1 / n, 0.0)
