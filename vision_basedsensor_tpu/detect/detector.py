@@ -7,7 +7,7 @@ TPU-first redesign of the reference's per-frame detector
   reference (data-dependent, CPU)          this module (fixed-shape, XLA)
   ---------------------------------        --------------------------------
   uint8 DoG + inRange                      ops.dog (explicit modular op)
-  FFT normxcorr vs Gaussian template       ops.ncc (6 separable 1-D convs)
+  FFT normxcorr vs Gaussian template       ops.ncc (4 separable filter passes)
   maximum/minimum_filter + ndimage.label   ops.peaks (local-max + top_k)
   center_of_mass over labeled mask         masked centroid in fixed windows
   findContours + fitEllipse per contour    windowed second moments
@@ -57,7 +57,7 @@ def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
     regions merge (its labeling fuses the cardinal markers with adjacent
     ring-4 blobs, whose edges come within ~2 px here).
 
-    All window math reduces to 18 sums per candidate (ops/moments.py),
+    All window math reduces to 24 sums per candidate (ops/moments.py),
     produced either by the XLA gather backend or the fused Pallas kernel.
     """
     peaks = find_peaks(ncc, cfg.ncc_threshold, profile.peak_window,

@@ -1,7 +1,7 @@
 """Per-peak window moment sums + finalization into marker candidates.
 
 The detector's per-candidate stage reduces three image fields over a window
-around each peak into 17 sums; everything downstream (centroids, ellipse
+around each peak into 24 sums; everything downstream (centroids, ellipse
 axes, validity gates) is closed-form in those sums. Two interchangeable
 backends produce them:
 

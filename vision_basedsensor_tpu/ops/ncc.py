@@ -12,8 +12,10 @@ decomposes exactly into six 1-D separable convolutions, because:
 * the denominator's local variance is ``boxsum(image^2) - boxsum(image)^2/n``;
 * Gaussian and box kernels are both rank-1 separable.
 
-This keeps every op on the conv/VPU fast path with zero-padded 'same'
-borders matching ``scipy.signal.fftconvolve(mode='same')``.
+This keeps every op on the MXU/VPU fast path with zero-padded 'same'
+borders matching ``scipy.signal.fftconvolve(mode='same')``; for binary
+inputs (the detector's mask) ``box(m^2)`` is closed-form and only four
+filter passes remain.
 """
 from __future__ import annotations
 

@@ -3,7 +3,7 @@
 The XLA backend (ops/moments.py:window_sums_xla) materializes three
 ``(K, P, P)`` patch tensors in HBM (a gather + full round-trip per field).
 This kernel instead walks the K peaks inside one program per frame,
-double-buffering row-block DMAs HBM->VMEM and accumulating all 18 moment
+double-buffering window DMAs HBM->VMEM and accumulating all 24 moment
 sums in VMEM — each window's pixels cross the memory system exactly once.
 
 Layout: for peak k the kernel copies a ``(P+8, 256)`` aligned window
