@@ -134,3 +134,33 @@ def test_cli_diameter(tmp_path, capsys):
     assert lines[0].startswith("x,y,diameter_mm")
     assert len(lines) == 4  # header + 3 disks
     assert os.path.exists(plot)
+
+
+def test_cli_calibrate_from_images(tmp_path, capsys, rng):
+    import sys as _sys, pathlib as _pl
+    _sys.path.insert(0, str(_pl.Path(__file__).parent))
+    from test_undistort import _render_board_through_camera
+    K = np.array([[420.0, 0.0, 200.0], [0.0, 410.0, 150.0], [0.0, 0.0, 1.0]])
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for k in range(5):
+        rvec = np.array([0.25 * np.sin(k * 1.3), 0.25 * np.cos(k * 0.9),
+                         0.3 * np.sin(k * 2.1)])
+        tvec = np.array([-22.0 + 2 * k, -18.0 + 1.5 * k, 95.0 + 6 * k])
+        img = _render_board_through_camera(K, rvec, tvec, 6.0, 8, 300, 400)
+        np.save(str(d / f"board_{k}.npy"), img)
+    out_x = str(tmp_path / "Intrinsic.xlsx")
+    plots = str(tmp_path / "plots")
+    import json, dataclasses
+    from vision_basedsensor_tpu.config import CalibrateConfig, PipelineConfig, to_json
+    cfgp = str(tmp_path / "cfg.json")
+    to_json(PipelineConfig(calibrate=CalibrateConfig(pattern_size=(7, 7),
+                                                     square_size_mm=6.0)), cfgp)
+    main(["--config", cfgp, "calibrate-intrinsics", str(d),
+          "--output", out_x, "--plots-dir", plots])
+    assert os.path.exists(out_x)
+    assert os.path.exists(os.path.join(plots, "board_poses.png"))
+    from vision_basedsensor_tpu.calibrate import CalibrationArtifact
+    art = CalibrationArtifact.load_intrinsics_xlsx(out_x)
+    assert abs(art.fx - 420.0) < 8.0
+    assert abs(art.cy - 150.0) < 8.0

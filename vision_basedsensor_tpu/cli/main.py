@@ -104,14 +104,49 @@ def _camera_from_args(args, frame_shape):
 
 def cmd_calibrate_intrinsics(args):
     from vision_basedsensor_tpu.calibrate import CalibrationArtifact, calibrate_intrinsics
-    data = np.load(args.corners)  # expects objs (V,N,3), imgs (V,N,2)
-    res = calibrate_intrinsics(data["objs"], data["imgs"])
-    art = CalibrationArtifact(
-        fx=float(res.cam.fx), fy=float(res.cam.fy), cx=float(res.cam.cx),
-        cy=float(res.cam.cy), skew=0.0, dist=np.asarray(res.cam.dist),
-        intrinsic_reproj_error=float(res.mean_reproj_error))
+    cfg = _load_cfg(args)
+    if os.path.isdir(args.corners):
+        # Directory of chessboard images: the reference C10 flow end to end
+        # (crop -> corner detection -> Zhang), intrinsic_calibration.py:53-109.
+        from vision_basedsensor_tpu.calibrate.images import calibrate_from_images
+        images = []
+        for f in sorted(os.listdir(args.corners)):
+            path = os.path.join(args.corners, f)
+            if f.lower().endswith(".npy"):
+                images.append(np.load(path))
+            elif f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
+                import cv2
+                img = cv2.imread(path)
+                if img is not None:
+                    images.append(img)
+        out = calibrate_from_images(
+            images, pattern_size=cfg.calibrate.pattern_size,
+            square_mm=cfg.calibrate.square_size_mm,
+            crop_ratios=cfg.crop_ratios if args.crop else None,
+            min_images=cfg.calibrate.min_images,
+            refine_iters=cfg.calibrate.refine_iters)
+        if out is None:
+            print("Insufficient valid images")
+            return 1
+        res, art = out.result, out.artifact
+        print(f"used {len(out.used_images)}/{len(images)} images")
+    else:
+        data = np.load(args.corners)  # expects objs (V,N,3), imgs (V,N,2)
+        res = calibrate_intrinsics(data["objs"], data["imgs"],
+                                   refine_iters=cfg.calibrate.refine_iters)
+        art = CalibrationArtifact(
+            fx=float(res.cam.fx), fy=float(res.cam.fy), cx=float(res.cam.cx),
+            cy=float(res.cam.cy), skew=0.0, dist=np.asarray(res.cam.dist),
+            intrinsic_reproj_error=float(res.mean_reproj_error))
     art.save_intrinsics_xlsx(args.output)
     print(f"calibration RMS {float(res.mean_reproj_error):.4f} px -> {args.output}")
+    if args.plots_dir:
+        os.makedirs(args.plots_dir, exist_ok=True)
+        from vision_basedsensor_tpu.calibrate.plots import plot_board_poses
+        plot_board_poses(np.asarray(res.rvecs), np.asarray(res.tvecs),
+                         cfg.calibrate.pattern_size, cfg.calibrate.square_size_mm,
+                         os.path.join(args.plots_dir, "board_poses.png"))
+        print(f"wrote {os.path.join(args.plots_dir, 'board_poses.png')}")
 
 
 def cmd_calibrate_extrinsics(args):
@@ -330,8 +365,13 @@ def main(argv=None):
     t.set_defaults(fn=cmd_track)
 
     ci = sub.add_parser("calibrate-intrinsics")
-    ci.add_argument("corners", help="npz with objs (V,N,3) and imgs (V,N,2)")
+    ci.add_argument("corners",
+                    help="npz with objs (V,N,3) + imgs (V,N,2), OR a "
+                         "directory of chessboard images (png/jpg/npy)")
     ci.add_argument("--output", default="IntrinsicParameters.xlsx")
+    ci.add_argument("--crop", action="store_true",
+                    help="apply the pipeline crop ratios before detection")
+    ci.add_argument("--plots-dir")
     ci.set_defaults(fn=cmd_calibrate_intrinsics)
 
     ce = sub.add_parser("calibrate-extrinsics")
