@@ -164,3 +164,34 @@ def test_cli_calibrate_from_images(tmp_path, capsys, rng):
     art = CalibrationArtifact.load_intrinsics_xlsx(out_x)
     assert abs(art.fx - 420.0) < 8.0
     assert abs(art.cy - 150.0) < 8.0
+
+
+def test_cli_tilt_end_to_end(tmp_path, capsys):
+    """Config 5 from videos: 15 deg tilt recovered via the tilt subcommand."""
+    from vision_basedsensor_tpu.config import (
+        AnalysisConfig, PipelineConfig, ReconstructConfig, to_json)
+    from vision_basedsensor_tpu.synth import (
+        default_scene, render_frames, tilt_deviation_field)
+    scene = default_scene(480, 640)
+    zero = jnp.zeros((65, 3), jnp.float32)
+    vert = np.asarray(render_frames(
+        scene, jnp.stack([zero, zero + jnp.asarray([0.0, 0.0, -1.0])])))
+    tilt = np.asarray(render_frames(
+        scene, jnp.stack([zero, tilt_deviation_field(15.0, compression_mm=1.0)])))
+    pv = str(tmp_path / "vert.npy")
+    pt = str(tmp_path / "tilt.npy")
+    np.save(pv, vert.astype(np.uint8))
+    np.save(pt, tilt.astype(np.uint8))
+
+    cfgp = str(tmp_path / "cfg.json")
+    to_json(PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0)), cfgp)
+    outdir = str(tmp_path / "exp")
+    main(["--config", cfgp, "tilt", pv, pt, "--no-warmup",
+          "--start-range", "0", "0", "--end-range", "1", "1",
+          "--output-dir", outdir])
+    out = capsys.readouterr().out
+    assert "Tilt Angle = " in out
+    angle = float(out.split("Tilt Angle = ")[1].split(" ")[0])
+    assert abs(angle - 15.0) < 0.5
+    assert os.path.exists(os.path.join(outdir, "vertical.txt"))
+    assert os.path.exists(os.path.join(outdir, "tilted.txt"))

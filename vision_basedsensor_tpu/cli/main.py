@@ -228,6 +228,50 @@ def cmd_analyze(args):
         print(f"wrote {args.plot}")
 
 
+def cmd_tilt(args):
+    """Config 5 end to end: vertical + tilted compression VIDEOS -> tilt.
+
+    Runs the full pipeline on both videos, averages positions over the
+    configured start/end frame ranges (LocalAnalysis semantics), writes the
+    reference-format experiment TXT artifacts, computes the deviation field
+    and the contact-plane tilt angle.
+    """
+    import jax.numpy as jnp
+    from vision_basedsensor_tpu import layout
+    from vision_basedsensor_tpu.analysis import (
+        analyze_deviation, deviation_field, start_end_displacement)
+    from vision_basedsensor_tpu.io.table import write_experiment_txt
+    from vision_basedsensor_tpu.pipeline import run_video
+    cfg = _load_cfg(args)
+
+    def process(path, tag):
+        frames = _load_frames(path)
+        cam = _camera_from_args(args, frames.shape)
+        out = run_video(jnp.asarray(frames), cam, cfg,
+                        apply_warmup=not args.no_warmup)
+        rng_start = tuple(args.start_range or cfg.analysis.start_frame_range)
+        rng_end = tuple(args.end_range or cfg.analysis.end_frame_range)
+        d, ok = start_end_displacement(out.recon, rng_start, rng_end)
+        if args.output_dir:
+            os.makedirs(args.output_dir, exist_ok=True)
+            table = layout.dome_layout()[:, 1:]
+            write_experiment_txt(os.path.join(args.output_dir, f"{tag}.txt"),
+                                 table, table + np.asarray(d), np.asarray(ok))
+        return d, ok
+
+    d_vert, ok_v = process(args.vertical_video, "vertical")
+    d_tilt, ok_t = process(args.tilted_video, "tilted")
+    dev, ok = deviation_field(d_vert, ok_v, d_tilt, ok_t)
+    res = analyze_deviation(dev, ok, cfg.analysis, initial_mode=args.mode)
+    print(f"common markers: {int(np.asarray(ok).sum())}")
+    print(f"-> Plane Fit: Tilt Angle = {float(res.tilt_deg):.2f} degrees")
+    print(f"-> Mean deviation magnitude: {float(res.mean_magnitude):.4f} mm")
+    if args.plot:
+        from vision_basedsensor_tpu.analysis.plots import plot_deviation_field
+        plot_deviation_field(res, args.plot, initial_mode=args.mode)
+        print(f"wrote {args.plot}")
+
+
 def cmd_synth(args):
     import jax.numpy as jnp
     from vision_basedsensor_tpu.synth import (
@@ -396,6 +440,19 @@ def main(argv=None):
     a.add_argument("--mode", default="plane", choices=["plane", "shell"])
     a.add_argument("--plot")
     a.set_defaults(fn=cmd_analyze)
+
+    ti = sub.add_parser("tilt", help="vertical+tilted videos -> pose tilt")
+    ti.add_argument("vertical_video")
+    ti.add_argument("tilted_video")
+    ti.add_argument("--mode", default="plane", choices=["plane", "shell"])
+    ti.add_argument("--output-dir", help="write reference-format TXT exports")
+    ti.add_argument("--start-range", type=int, nargs=2)
+    ti.add_argument("--end-range", type=int, nargs=2)
+    ti.add_argument("--no-warmup", action="store_true")
+    ti.add_argument("--calibration")
+    ti.add_argument("--extrinsics")
+    ti.add_argument("--plot")
+    ti.set_defaults(fn=cmd_tilt)
 
     s = sub.add_parser("synth")
     s.add_argument("--output", default="synthetic.npy")

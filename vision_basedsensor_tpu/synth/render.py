@@ -156,6 +156,33 @@ def indentation_staircase(num_steps: int = 12, step_mm: float = 0.7,
     return d.at[:, :, 2].set(-steps[:, None])
 
 
+def probe_indentation_field(depth_mm: float, contact_xy=(0.0, 0.0),
+                            probe_radius_mm: float = 5.0) -> jnp.ndarray:
+    """Local deformation of a spherical probe pressed into the dome.
+
+    Physical analog of the reference's indentation rig (README.md:103-121):
+    markers inside the contact footprint follow the probe surface; outside it
+    the displacement decays smoothly (exponential skirt), instead of the
+    rigid -Z translation of :func:`indentation_staircase`. Returns ``(65, 3)``
+    -Z displacements (membrane tangential motion neglected).
+    """
+    table = layout.dome_layout()
+    r = np.hypot(table[:, 1] - contact_xy[0], table[:, 2] - contact_xy[1])
+    # Spherical probe cap: depth profile d(r) = depth - (R - sqrt(R^2 - r^2)).
+    inside = r < probe_radius_mm
+    sag = probe_radius_mm - np.sqrt(np.maximum(probe_radius_mm**2 - r**2, 0.0))
+    d_in = np.maximum(depth_mm - sag, 0.0)
+    # Footprint edge: radius where the probe meets the surface.
+    a = probe_radius_mm * np.sqrt(max(0.0, 1 - (1 - depth_mm / probe_radius_mm)**2)) \
+        if depth_mm < probe_radius_mm else probe_radius_mm
+    edge = np.maximum(depth_mm - (probe_radius_mm - np.sqrt(max(probe_radius_mm**2 - a**2, 0.0))), 0.0)
+    skirt = edge * np.exp(-(r - a) / max(probe_radius_mm, 1e-6))
+    dz = np.where(inside, d_in, skirt)
+    out = np.zeros((layout.NUM_MARKERS, 3), np.float32)
+    out[:, 2] = -dz
+    return jnp.asarray(out)
+
+
 def tilt_deviation_field(tilt_deg: float, axis: str = "y",
                          compression_mm: float = 1.0) -> jnp.ndarray:
     """Displacement field of a tilted compression: each marker moves along -Z
