@@ -65,28 +65,20 @@ def find_peaks(score: jnp.ndarray, threshold: float, window: int,
     sp = jnp.pad(sp, pad, constant_values=-jnp.inf)
     batch = sp.shape[:-2]
     tiles = sp.reshape(batch + (hc, cell, wc, cell))
-    # Pure reduction (no moveaxis relayout — that transpose measured ~2x the
-    # cost of this whole stage); the winning cells' in-cell offsets are
-    # recovered afterwards by gathering just the K selected cells.
-    cmax = jnp.max(tiles, axis=(-3, -1))
+    # NOTE (measured): replacing this relayout + full argmax with a pure
+    # reduction + per-winner dynamic_slice gathers regressed end-to-end
+    # throughput 6185 -> 2919 fps (scattered gathers lose to one regular
+    # transpose); this version stays. See git history.
+    tiles = jnp.moveaxis(tiles, -3, -2).reshape(batch + (hc, wc, cell * cell))
+    cmax = jnp.max(tiles, axis=-1)
+    coff = jnp.argmax(tiles, axis=-1)
+
     vals, cidx = jax.lax.top_k(cmax.reshape(batch + (hc * wc,)), max_peaks)
+    off = jnp.take_along_axis(coff.reshape(batch + (hc * wc,)), cidx, axis=-1)
     cy = cidx // wc
     cx = cidx % wc
-
-    def cell_offset(sp_f, cy_f, cx_f):
-        def one(cyk, cxk):
-            blk = jax.lax.dynamic_slice(sp_f, (cyk * cell, cxk * cell),
-                                        (cell, cell))
-            o = jnp.argmax(blk.reshape(-1))
-            return o // cell, o % cell
-        return jax.vmap(one)(cy_f, cx_f)
-
-    off_fn = cell_offset
-    for _ in range(len(batch)):
-        off_fn = jax.vmap(off_fn)
-    oy, ox = off_fn(sp, cy, cx)
-    ys = (cy * cell + oy).astype(jnp.float32)
-    xs = (cx * cell + ox).astype(jnp.float32)
+    ys = (cy * cell + off // cell).astype(jnp.float32)
+    xs = (cx * cell + off % cell).astype(jnp.float32)
     xy = jnp.stack([xs, ys], axis=-1)
     valid = jnp.isfinite(vals)
 
