@@ -164,3 +164,24 @@ def test_xlsx_readable_by_pandas(tmp_path):
     assert rows[0][:2] == ["Parameter", "Value"]
     assert rows[1][:2] == ["fx", 612.5]
     assert rows[2][:2] == ["desc", "hello"]
+
+
+def test_load_intrinsics_reference_writer_schema(tmp_path):
+    """The reference writes intrinsics under header 'Param'
+    (intrinsic_calibration.py:51) while its loaders expect 'Parameter'
+    (quirk 6); our reader must accept the reference's own files."""
+    from vision_basedsensor_tpu.io import xlsx
+    p = str(tmp_path / "ref_style.xlsx")
+    xlsx.write_xlsx(p, [
+        ["Param", "Value", "Desc"],
+        ["fx", 601.5, "Focal length x"], ["fy", 599.0, "Focal length y"],
+        ["cx", 321.0, "Principal point x"], ["cy", 239.5, "Principal point y"],
+        ["skew", 0.0, "Skew coefficient"],
+        ["k1", -0.2, ""], ["k2", 0.04, ""], ["p1", 0.001, ""],
+        ["p2", -0.0005, ""], ["k3", 0.0, ""],
+        ["Reproj Error", 0.31, "Mean error (px)"],
+    ])
+    art = CalibrationArtifact.load_intrinsics_xlsx(p)
+    assert art.fx == 601.5 and art.cy == 239.5
+    np.testing.assert_allclose(art.dist, [-0.2, 0.04, 0.001, -0.0005, 0.0])
+    assert art.intrinsic_reproj_error == 0.31
