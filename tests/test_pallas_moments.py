@@ -28,23 +28,18 @@ def fields():
                              prof.template_sigma)
     m = (ncc > cfg.ncc_threshold).astype(jnp.float32)
     band = m * (min_filter(m, prof.band_window) < 0.5)
-    area_f32 = area.astype(jnp.float32)
-    area_open = morph_open(area_f32, cfg.open_ksize)
+    area_open = morph_open(area.astype(jnp.float32), cfg.open_ksize)
     peaks = find_peaks(ncc, cfg.ncc_threshold, prof.peak_window,
                        cfg.max_candidates, float(prof.peak_window))
-    return cfg, prof, gray, m, area_f32, band, area_open, peaks
+    return cfg, prof, gray, band, area_open, peaks
 
 
 def test_pallas_sums_match_xla(fields):
-    cfg, prof, gray, ncc_mask, area_f32, band, area_open, peaks = fields
+    cfg, prof, gray, band, area_open, peaks = fields
     geom = cut_geometry(peaks)
     sx = np.asarray(window_sums_xla(band, area_open, gray, peaks, geom, prof))
-    # The fused kernel takes the RAW mask/area and does the morphology
-    # itself; equality vs the global-morphology XLA path proves the in-window
-    # computation is exact.
-    sp = np.asarray(window_sums_pallas(ncc_mask, area_f32, gray, peaks, geom,
-                                       prof, open_k=cfg.open_ksize,
-                                       interpret=True))
+    sp = np.asarray(window_sums_pallas(band, area_open, gray, peaks, geom,
+                                       prof, interpret=True))
     valid = np.asarray(peaks.valid)
     # Compare finite entries on valid peaks (lo/hi are +-inf on empty cuts).
     a, b = sx[valid], sp[valid]

@@ -46,8 +46,7 @@ class Detections(NamedTuple):
     valid: jnp.ndarray   # (..., K) bool
 
 
-def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, ncc_mask: jnp.ndarray,
-                    band: jnp.ndarray, area_f32: jnp.ndarray,
+def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
                     area_open: jnp.ndarray, cfg: DetectConfig,
                     profile: DetectProfile) -> Detections:
     """Batched candidate extraction from precomputed fields ``(B, H, W)``.
@@ -68,12 +67,8 @@ def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, ncc_mask: jnp.ndarray,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
-        # The fused kernel computes band/open morphology per window itself
-        # from the raw mask/area fields (the global band/area_open passes
-        # are dead code under jit in this branch).
         from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
-        sums = window_sums_pallas(ncc_mask, area_f32, gray, peaks, geom,
-                                  profile, open_k=cfg.open_ksize)
+        sums = window_sums_pallas(band, area_open, gray, peaks, geom, profile)
     else:
         sums = jax.vmap(lambda b, a, g, p, gm: window_sums_xla(b, a, g, p, gm, profile)
                         )(band, area_open, gray, peaks, geom)
@@ -135,11 +130,9 @@ def detect_markers(frames: jnp.ndarray, cfg: DetectConfig,
     # Boundary band of the NCC mask: mask pixels whose band_window
     # neighborhood touches background (see _detect_batched).
     band = ncc_mask * (min_filter(ncc_mask, profile.band_window) < 0.5)
-    area_f32 = area.astype(jnp.float32)
-    area_open = morph_open(area_f32, cfg.open_ksize)
+    area_open = morph_open(area.astype(jnp.float32), cfg.open_ksize)
 
-    det = _detect_batched(gray, ncc, ncc_mask, band, area_f32, area_open,
-                          cfg, profile)
+    det = _detect_batched(gray, ncc, band, area_open, cfg, profile)
     if squeeze:
         det = jax.tree.map(lambda x: x[0], det)
     return det

@@ -28,48 +28,9 @@ from vision_basedsensor_tpu.ops.moments import NUM_SUMS, CutGeometry
 from vision_basedsensor_tpu.ops.peaks import Peaks
 
 
-def _sliding_extreme(x, k, axis, op, fill):
-    """Sliding min/max with offsets [-(k//2), (k-1)//2] (core/imaging's
-    reduce_window placement), combining one shifted copy per offset.
-
-    Each shift fills rolled-in positions with the reduction identity, so
-    partially-out-of-block windows reduce over exactly their in-block pixels
-    — matching reduce_window's identity padding at true image borders, while
-    interior block edges only contaminate pixels that lie outside the cutoff
-    disk by construction. (A log-cascade variant mishandles partially valid
-    windows at edges: its grouped shifts invalidate whole offset ranges.)
-    """
-    n = x.shape[axis]
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-
-    def shift_fill(v, sft):  # result[i] = v[i - sft], fill outside the block
-        r = jnp.roll(v, sft, axis)
-        invalid = (idx < sft) if sft > 0 else (idx >= n + sft)
-        return jnp.where(invalid, fill, r)
-
-    m = x
-    for o in range(1, (k - 1) // 2 + 1):   # positive offsets
-        m = op(m, shift_fill(x, -o))
-    for o in range(1, k // 2 + 1):         # negative offsets
-        m = op(m, shift_fill(x, o))
-    return m
-
-
-def _min_filter2(x, k):
-    big = jnp.asarray(3e38, x.dtype)
-    return _sliding_extreme(_sliding_extreme(x, k, 0, jnp.minimum, big),
-                            k, 1, jnp.minimum, big)
-
-
-def _max_filter2(x, k):
-    small = jnp.asarray(-3e38, x.dtype)
-    return _sliding_extreme(_sliding_extreme(x, k, 0, jnp.maximum, small),
-                            k, 1, jnp.maximum, small)
-
-
-def _kernel(start_ref, peak_ref, geom_ref, mask_hbm, area_hbm, gray_hbm,
+def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
             out_ref, rows, sems, *, rows_block: int, cols_block: int,
-            cutoff: float, open_k: int, band_k: int):
+            cutoff: float):
     frame = pl.program_id(0)
     k_total = out_ref.shape[1]
 
@@ -84,11 +45,11 @@ def _kernel(start_ref, peak_ref, geom_ref, mask_hbm, area_hbm, gray_hbm,
         )
 
     def start_dma(slot, k):
-        for f, src in enumerate((mask_hbm, area_hbm, gray_hbm)):
+        for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
             _dma(slot, k, f, src).start()
 
     def wait_dma(slot, k):
-        for f, src in enumerate((mask_hbm, area_hbm, gray_hbm)):
+        for f, src in enumerate((band_hbm, area_hbm, gray_hbm)):
             _dma(slot, k, f, src).wait()
 
     start_dma(0, 0)
@@ -108,13 +69,10 @@ def _kernel(start_ref, peak_ref, geom_ref, mask_hbm, area_hbm, gray_hbm,
         py = peak_ref[0, k, 1]
 
         # Aligned (rows_block, cols_block) window: the radial-cutoff gate
-        # selects the active pixels inside it. Band and morphological opening
-        # are computed here in VMEM instead of as global HBM passes.
-        mask = rows[slot, 0]
-        area_raw = rows[slot, 1]
+        # selects the active pixels inside it.
+        band = rows[slot, 0]
+        area = rows[slot, 1]
         gray = rows[slot, 2]
-        band = mask * (_min_filter2(mask, band_k) < 0.5)
-        area = _max_filter2(_min_filter2(area_raw, open_k), open_k)
 
         # Mosaic iota must be integer-typed; cast after.
         col = jax.lax.broadcasted_iota(jnp.int32, (rows_block, cols_block), 1).astype(jnp.float32)
@@ -155,16 +113,11 @@ def _kernel(start_ref, peak_ref, geom_ref, mask_hbm, area_hbm, gray_hbm,
     jax.lax.fori_loop(0, k_total, body, ())
 
 
-def window_sums_pallas(mask: jnp.ndarray, area_raw: jnp.ndarray,
+def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
                        gray: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
-                       profile: DetectProfile, open_k: int = 5,
+                       profile: DetectProfile,
                        interpret: bool | None = None) -> jnp.ndarray:
-    """Fused equivalent of band/open morphology + ``window_sums_xla``.
-
-    Takes the NCC superlevel ``mask`` and the raw DoG ``area_raw`` (floats
-    0/1); the boundary band and the morphological opening are computed inside
-    the kernel per window, eliminating two global reduce_window passes and
-    their HBM round-trips.
+    """Drop-in replacement for a batch of ``window_sums_xla`` calls.
 
     Inputs carry a leading frame axis (``(B, H, W)`` images, ``(B, K, ...)``
     peak data); the frame axis is the kernel grid (TPU Pallas requires
@@ -173,7 +126,7 @@ def window_sums_pallas(mask: jnp.ndarray, area_raw: jnp.ndarray,
     """
     squeeze = gray.ndim == 2
     if squeeze:
-        mask, area_raw, gray = mask[None], area_raw[None], gray[None]
+        band, area, gray = band[None], area[None], gray[None]
         peaks = jax.tree.map(lambda v: v[None], peaks)
         geom = jax.tree.map(lambda v: v[None], geom)
     b_frames, h, w = gray.shape
@@ -183,18 +136,15 @@ def window_sums_pallas(mask: jnp.ndarray, area_raw: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
 
     half = p // 2
-    # Row/column margins: 8/128-alignment slack plus halo so the in-kernel
-    # morphology's wrap-around rolls never touch disk pixels.
-    rows_block = p + 24
+    rows_block = p + 8  # slack so the 8-aligned start still covers the window
     # Columns: a 128-aligned 256-wide window always contains the cutoff disk
-    # (disk x-span <= 2*cutoff + 128-alignment slack < 256 for cutoff <= 55).
+    # (disk x-span <= 2*cutoff + 128-alignment slack < 256 for cutoff <= 63).
     cols_block = 256 if w >= 256 else w
     cx = jnp.clip(jnp.round(peaks.xy[..., 0]).astype(jnp.int32) - half, 0, w - p)
-    cy = jnp.clip(jnp.round(peaks.xy[..., 1]).astype(jnp.int32) - half - 8,
-                  0, h - p)
+    cy = jnp.clip(jnp.round(peaks.xy[..., 1]).astype(jnp.int32) - half, 0, h - p)
     # Mosaic DMA offsets must be multiples of the (8, 128) f32 tiling.
     cy = jnp.clip((cy // 8) * 8, 0, max(h - rows_block, 0))
-    cxa = jnp.clip(((cx - 8) // 128) * 128, 0, max(w - cols_block, 0))
+    cxa = jnp.clip((cx // 128) * 128, 0, max(w - cols_block, 0))
     start = jnp.stack([cxa, cy], axis=-1)                      # (B, K, 2)
     rhs = jnp.minimum(geom.rhs, 3e38)
     geom_packed = jnp.stack(
@@ -205,8 +155,7 @@ def window_sums_pallas(mask: jnp.ndarray, area_raw: jnp.ndarray,
 
     kern = functools.partial(_kernel, rows_block=rows_block,
                              cols_block=cols_block,
-                             cutoff=float(profile.radial_cutoff_px),
-                             open_k=open_k, band_k=profile.band_window)
+                             cutoff=float(profile.radial_cutoff_px))
     out = pl.pallas_call(
         kern,
         grid=(b_frames,),
@@ -229,5 +178,5 @@ def window_sums_pallas(mask: jnp.ndarray, area_raw: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
-    )(start, peaks.xy.astype(jnp.float32), geom_packed, mask, area_raw, gray)
+    )(start, peaks.xy.astype(jnp.float32), geom_packed, band, area, gray)
     return out[0] if squeeze else out
