@@ -91,3 +91,37 @@ def test_reconstruction_absolute_positions():
     # With the de-biased diameter estimate (~0.3%), absolute positions land
     # within a few tenths of a mm at ~40 mm depth.
     assert np.median(err) < 0.4, f"median abs position error {np.median(err):.2f} mm"
+
+
+def test_pipeline_with_lens_distortion():
+    """End-to-end under a realistic Brown-Conrady lens: frames rendered
+    THROUGH the distortion model, reconstruction undistorts with the same
+    camera — recovered displacement must match the prescribed motion (this
+    is the only path that exercises undistort_points inside the pipeline)."""
+    import numpy as _np
+    from vision_basedsensor_tpu.synth import default_scene
+    dist = _np.array([-0.18, 0.05, 0.0008, -0.0006, 0.0])
+    scene = default_scene(480, 640, dist=dist)
+    zero = jnp.zeros((65, 3), jnp.float32)
+    dz = zero + jnp.asarray([0.0, 0.0, -0.7])
+    frames = render_frames(scene, jnp.stack([zero, dz]))
+    out = run_video(frames, scene.cam, _cfg(), apply_warmup=False)
+    seen = np.asarray(out.recon.seen)
+    assert seen[0].sum() >= 63  # distortion shrinks edge markers slightly
+    ffn = np.asarray(out.recon.from_first_norm)[1]
+    both = seen[0] & seen[1]
+    np.testing.assert_allclose(ffn[both].mean(), 0.7, atol=0.05)
+
+    # Control: reconstructing while IGNORING the distortion must be visibly
+    # wrong in absolute position (validates that undistortion matters here).
+    from vision_basedsensor_tpu.core.camera import CameraModel
+    naive_cam = CameraModel.create(
+        scene.cam.fx, scene.cam.fy, scene.cam.cx, scene.cam.cy,
+        R_wc=np.eye(3), T_wc=np.asarray(scene.cam.T_wc))
+    out_naive = run_video(frames, naive_cam, _cfg(), apply_warmup=False)
+    truth = layout.dome_layout()[:, 1:]
+    err_good = np.linalg.norm(
+        np.asarray(out.recon.world)[0][both] - truth[both], axis=1)
+    err_naive = np.linalg.norm(
+        np.asarray(out_naive.recon.world)[0][both] - truth[both], axis=1)
+    assert np.median(err_good) < 0.5 * np.median(err_naive)

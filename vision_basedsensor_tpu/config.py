@@ -138,6 +138,11 @@ class ReconstructConfig:
     min_marker_size_px: float = 5.0      # :23 major-axis filter
     max_step_displacement_mm: float = 50.0  # :24 gate; ref names it *_px (quirk 8), value kept
     undistort_iters: int = 5             # cv2.undistortPoints default iteration count
+    # Divide measured diameters by the local distortion magnification
+    # (sqrt|det J|) before depth-from-diameter. The reference skips this
+    # (it undistorts centers only), biasing off-center depths under barrel
+    # distortion; disable for strict reference parity.
+    distortion_corrected_diameter: bool = True
 
 
 @dataclass(frozen=True)

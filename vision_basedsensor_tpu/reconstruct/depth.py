@@ -8,6 +8,7 @@ depth-from-diameter back-projection, all on the MXU/VPU.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from vision_basedsensor_tpu.config import ReconstructConfig
@@ -37,6 +38,23 @@ def reconstruct_positions(cam: CameraModel, uv: jnp.ndarray,
     """
     uv_u = cam_mod.undistort_points(cam, uv, iters=cfg.undistort_iters)
     ok = valid & (diameter_px >= cfg.min_marker_size_px)
+
+    if cfg.distortion_corrected_diameter:
+        # The reference measures diameters in the DISTORTED image but never
+        # compensates (it undistorts only the centers,
+        # 3d_reconstruction.py:259-260 + :220) — with a typical endoscopic
+        # barrel lens that biases off-center depths by up to ~10%. Correct
+        # each diameter by the local isotropic magnification of the
+        # distortion map, sqrt(|det d(distorted)/d(undistorted)|), evaluated
+        # at the undistorted point via autodiff.
+        xy_n = cam_mod.undistort_points(cam, uv, iters=cfg.undistort_iters,
+                                        to_pixels=False)
+        jac = jax.vmap(jax.jacfwd(lambda p: cam_mod.distort_normalized(cam, p)))(
+            xy_n.reshape(-1, 2))
+        det = jnp.abs(jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0])
+        mag = jnp.sqrt(jnp.maximum(det, 1e-12)).reshape(diameter_px.shape)
+        diameter_px = diameter_px / mag
+
     world = cam_mod.backproject_depth_from_diameter(
         cam, uv_u, diameter_px, cfg.marker_diameter_mm)
     ok = ok & jnp.all(jnp.isfinite(world), axis=-1)
