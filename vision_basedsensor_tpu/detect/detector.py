@@ -66,6 +66,11 @@ def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # Mosaic requires 128-aligned lane slices: the kernel's column windows
+    # need W % 128 == 0 (and >= 256 for the window size). Fall back to the
+    # XLA path for other widths (static shape -> resolved at trace time).
+    if backend == "pallas" and (gray.shape[-1] % 128 != 0 or gray.shape[-1] < 256):
+        backend = "xla"
     if backend == "pallas":
         from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
         sums = window_sums_pallas(band, area_open, gray, peaks, geom, profile)
