@@ -36,6 +36,32 @@ def test_rodrigues_matches_cv2():
         np.testing.assert_allclose(R_back, R_cv, atol=1e-9)
 
 
+def test_inverse_rodrigues_near_pi():
+    """Regression: theta ~ pi collapses the antisymmetric part to ~0; the axis
+    must be recovered from (R + I)/2 instead of returning ~identity
+    (ADVICE.md round 1: PnP/Zhang refinements seeded from a near-180-degree
+    pose would otherwise start from a wrong rvec)."""
+    rng = np.random.default_rng(42)
+    for theta in [np.pi, np.pi - 1e-9, np.pi - 1e-5, np.pi - 1e-3,
+                  -np.pi + 1e-6]:
+        for _ in range(4):
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            rvec = axis * theta
+            R = cv2.Rodrigues(rvec)[0]
+            r_back = transforms.inverse_rodrigues(jnp.asarray(R, jnp.float64))
+            # Magnitude must be near pi, never collapsed toward zero.
+            assert abs(np.linalg.norm(np.asarray(r_back)) - abs(theta)) < 1e-4
+            R_back = np.asarray(transforms.rodrigues(r_back))
+            np.testing.assert_allclose(R_back, R, atol=1e-6)
+    # Exact axis-aligned pi rotations (degenerate diagonals).
+    for axis in np.eye(3):
+        R = cv2.Rodrigues(axis * np.pi)[0]
+        r_back = transforms.inverse_rodrigues(jnp.asarray(R, jnp.float64))
+        R_back = np.asarray(transforms.rodrigues(r_back))
+        np.testing.assert_allclose(R_back, R, atol=1e-9)
+
+
 def test_project_points_matches_cv2():
     cam = make_cam()
     rng = np.random.default_rng(0)

@@ -18,6 +18,7 @@ from vision_basedsensor_tpu.config import CalibrateConfig
 from vision_basedsensor_tpu.core import camera as cam_mod
 from vision_basedsensor_tpu.core.camera import CameraModel
 from vision_basedsensor_tpu.core.transforms import inverse_rodrigues, rodrigues
+from vision_basedsensor_tpu.utils.precision import with_x64
 
 
 class PnPResult(NamedTuple):
@@ -75,6 +76,7 @@ def _gauss_newton(cam: CameraModel, R0, t0, obj, img_px, weights, iters: int):
     return rodrigues(p[:3]), p[3:]
 
 
+@with_x64
 def solve_pnp_ransac(object_points: jnp.ndarray, image_points: jnp.ndarray,
                      cam: CameraModel, cfg: CalibrateConfig,
                      key: jax.Array | int = 0) -> PnPResult:

@@ -18,6 +18,7 @@ from vision_basedsensor_tpu.calibrate.homography import fit_homography
 from vision_basedsensor_tpu.core import camera as cam_mod
 from vision_basedsensor_tpu.core.camera import CameraModel
 from vision_basedsensor_tpu.core.transforms import inverse_rodrigues, rodrigues
+from vision_basedsensor_tpu.utils.precision import with_x64
 
 
 class ZhangResult(NamedTuple):
@@ -83,6 +84,7 @@ def _unpack(p, n_views):
     return fx, fy, cx, cy, dist, r, t
 
 
+@with_x64
 def calibrate_intrinsics(object_points: jnp.ndarray, image_points: jnp.ndarray,
                          refine_iters: int = 30) -> ZhangResult:
     """Full Zhang calibration.
@@ -115,15 +117,31 @@ def calibrate_intrinsics(object_points: jnp.ndarray, image_points: jnp.ndarray,
 
     p = _pack(fx, fy, cx, cy, dist0, rvecs, ts)
 
-    def gn_step(p, _):
+    def lm_step(carry, _):
+        # Levenberg-Marquardt via the augmented least-squares system
+        # [J; sqrt(lam) * diag(col_norms)] dp = [r; 0], solved on J directly
+        # (SVD lstsq): the normal equations would square the conditioning
+        # (fx <-> k1 <-> t_z valleys) and stall convergence. Undamped GN
+        # diverges on nearly-coplanar view sets (rank-deficient conic
+        # constraints leave fx/fy unobservable and the full step overshoots);
+        # the rejected-step backtracking makes every iteration non-increasing.
+        p, lam, cost = carry
         rsd = residuals(p)
         J = jax.jacfwd(residuals)(p)
-        # Least-squares step on J directly (SVD): the normal equations square
-        # the conditioning (fx <-> k1 <-> t_z valleys) and stall convergence.
-        dp, *_ = jnp.linalg.lstsq(J, rsd, rcond=None)
-        return p - dp, None
+        col = jnp.maximum(jnp.sqrt(jnp.sum(J * J, axis=0)), 1e-12)
+        A = jnp.concatenate([J, jnp.sqrt(lam) * jnp.diag(col)], axis=0)
+        b = jnp.concatenate([rsd, jnp.zeros(p.shape[0], p.dtype)])
+        dp, *_ = jnp.linalg.lstsq(A, b, rcond=None)
+        p_new = p - dp
+        new_cost = jnp.sum(residuals(p_new) ** 2)
+        accept = new_cost < cost
+        return (jnp.where(accept, p_new, p),
+                jnp.clip(jnp.where(accept, lam / 3.0, lam * 10.0), 1e-12, 1e10),
+                jnp.where(accept, new_cost, cost)), None
 
-    p, _ = jax.lax.scan(gn_step, p, None, length=refine_iters)
+    cost0 = jnp.sum(residuals(p) ** 2)
+    (p, _, _), _ = jax.lax.scan(lm_step, (p, jnp.asarray(1e-3, p.dtype), cost0),
+                                None, length=refine_iters)
 
     fx, fy, cx, cy, dist, rvecs, tvecs = _unpack(p, n_views)
     cam = CameraModel.create(fx, fy, cx, cy, 0.0, dist, dtype=jnp.float64)
