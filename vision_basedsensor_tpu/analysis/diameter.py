@@ -6,8 +6,9 @@ px/mm scale from a chessboard in the image (mean adjacent-corner spacing,
 circularity gates (:113-144). Fixed-shape redesign:
 
 * the interactive trackbar threshold picker (:76-111) becomes Otsu's method
-  on device (an explicit threshold can still be passed — and a cv2-based
-  interactive picker lives in the CLI layer when a display exists);
+  on device; an explicit threshold can still be passed, and ``cli diameter
+  --interactive`` reproduces the reference's cv2 trackbar picker when a
+  display is available (``cli/main.py:select_threshold_interactive``);
 * contours + ``minEnclosingCircle`` become windowed mask moments around blob
   peaks: area = m00, perimeter ~ boundary-band pixel count, circularity =
   4 pi A / P^2, and the enclosing-circle diameter = 2 max distance from the
@@ -81,7 +82,7 @@ def measure_diameters(image: jnp.ndarray, scale_px_per_mm: float,
     (DiameterValidation.py:34-38,121-141).
     """
     gray = to_grayscale(jnp.asarray(image))
-    blur = gaussian_blur(gray, 5, 0.0 if False else 1.1)  # cv2 (5,5),0 => sigma~1.1
+    blur = gaussian_blur(gray, 5, 1.1)  # cv2 (5,5),sigma=0 auto-picks ~1.1
     thr = otsu_threshold(blur) if threshold is None else jnp.asarray(threshold, jnp.float32)
     mask = (blur < thr).astype(jnp.float32)  # THRESH_BINARY_INV semantics
 

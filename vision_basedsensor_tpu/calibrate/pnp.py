@@ -27,6 +27,13 @@ class PnPResult(NamedTuple):
     inliers: jnp.ndarray          # (N,) bool
     num_inliers: jnp.ndarray
     mean_reproj_error: jnp.ndarray  # over ALL points (extrinsic_calibration.py:117-118)
+    # Post-hoc RANSAC confidence 1 - (1 - w^6)^n_hyp from the final inlier
+    # ratio w: the probability the fixed hypothesis batch contained at least
+    # one all-inlier sample. cv2 uses cfg.ransac_confidence to adapt its
+    # iteration count at runtime; the TPU formulation runs a fixed batch, so
+    # the knob is honored by *verifying* the achieved confidence instead
+    # (solve_pnp_ransac warns when it falls short).
+    achieved_confidence: jnp.ndarray
 
 
 def _dlt_pnp(obj: jnp.ndarray, img_norm: jnp.ndarray):
@@ -116,6 +123,15 @@ def solve_pnp_ransac(object_points: jnp.ndarray, image_points: jnp.ndarray,
                          inl.astype(obj.dtype), cfg.pnp_refine_iters)
     err_all = _reproj_error(cam, R, t, obj, img)
     inliers = err_all < cfg.ransac_reproj_threshold_px
+    w = inliers.sum() / n
+    achieved = 1.0 - (1.0 - jnp.clip(w, 0.0, 1.0) ** 6) ** n_hyp
+    if float(achieved) < cfg.ransac_confidence:  # eager host path; sync is fine
+        import warnings
+        warnings.warn(
+            f"RANSAC achieved confidence {float(achieved):.4f} < requested "
+            f"{cfg.ransac_confidence} (inlier ratio {float(w):.2f}, "
+            f"{n_hyp} hypotheses); raise CalibrateConfig.ransac_iterations.",
+            stacklevel=2)
     return PnPResult(
         R_wc=R, T_wc=t, inliers=inliers, num_inliers=inliers.sum(),
-        mean_reproj_error=jnp.mean(err_all))
+        mean_reproj_error=jnp.mean(err_all), achieved_confidence=achieved)

@@ -289,6 +289,35 @@ def cmd_synth(args):
     print(f"wrote {args.output} {frames.shape}")
 
 
+def select_threshold_interactive(gray: "np.ndarray",
+                                 initial: int = 127) -> float:  # pragma: no cover
+    """cv2 trackbar picker for the binarization threshold — the reference's
+    interactive flow (DiameterValidation.py:76-111). Requires a display;
+    shows the inverted-binary preview live, ENTER/ESC accepts.
+    """
+    import cv2
+    win = "Threshold Selection (ENTER to accept)"
+    cv2.namedWindow(win, cv2.WINDOW_NORMAL)
+    state = {"thr": initial}
+
+    def on_change(v):
+        state["thr"] = v
+        _, binary = cv2.threshold(gray.astype(np.uint8), v, 255,
+                                  cv2.THRESH_BINARY_INV)
+        cv2.imshow(win, binary)
+
+    cv2.createTrackbar("Threshold", win, initial, 255, on_change)
+    on_change(initial)
+    while True:
+        key = cv2.waitKey(50) & 0xFF
+        if key in (13, 27):  # ENTER / ESC
+            break
+        if cv2.getWindowProperty(win, cv2.WND_PROP_VISIBLE) < 1:
+            break
+    cv2.destroyWindow(win)
+    return float(state["thr"])
+
+
 def cmd_diameter(args):
     """Marker-diameter precision validation (reference C19)."""
     import jax.numpy as jnp
@@ -302,6 +331,9 @@ def cmd_diameter(args):
         import cv2
         img = cv2.imread(args.image)
     gray = np.asarray(to_grayscale(jnp.asarray(img)))
+    if args.interactive and args.threshold is None:  # pragma: no cover
+        args.threshold = select_threshold_interactive(gray)
+        print(f"[INFO] Selected threshold: {args.threshold:.0f}")
 
     if args.scale:
         scale = args.scale
@@ -469,6 +501,8 @@ def main(argv=None):
     dm.add_argument("--square-mm", type=float, default=3.0)
     dm.add_argument("--scale", type=float, help="px/mm (skip chessboard)")
     dm.add_argument("--threshold", type=float, help="binary threshold (default Otsu)")
+    dm.add_argument("--interactive", action="store_true",
+                    help="pick the threshold with a cv2 trackbar (needs a display)")
     dm.add_argument("--offset", type=float, default=0.0)
     dm.add_argument("--plot")
     dm.set_defaults(fn=cmd_diameter)

@@ -154,7 +154,11 @@ class CalibrateConfig:
     refine_iters: int = 30                   # LM refinement iterations
     ransac_iterations: int = 1000            # extrinsic_calibration.py:105
     ransac_reproj_threshold_px: float = 8.0  # :104
-    ransac_confidence: float = 0.99          # :103
+    # Requested probability of at least one all-inlier RANSAC sample (:103).
+    # The TPU solver runs a fixed hypothesis batch (no adaptive early exit),
+    # so this is enforced post-hoc: solve_pnp_ransac reports the achieved
+    # confidence and warns when it falls below this value.
+    ransac_confidence: float = 0.99
     pnp_refine_iters: int = 20               # iterative PnP Gauss-Newton steps
 
 
@@ -215,8 +219,6 @@ def _from_jsonable(cls: type, data: Any) -> Any:
         for f in dataclasses.fields(cls):
             if f.name not in data:
                 continue
-            ftype = f.type if isinstance(f.type, type) else None
-            default = getattr(cls(), f.name) if ftype is None else None
             val = data[f.name]
             # Recurse into nested dataclasses based on the default instance.
             proto = getattr(cls(), f.name)
