@@ -63,15 +63,18 @@ def cmd_detect(args):
 
 
 def cmd_track(args):
+    import dataclasses
+
     import jax.numpy as jnp
     from vision_basedsensor_tpu.io.table import write_tracking_csv
-    from vision_basedsensor_tpu.pipeline import initialize, process_frames
-    from vision_basedsensor_tpu.synth import default_scene
+    from vision_basedsensor_tpu.pipeline import run_video
     cfg = _load_cfg(args)
+    if args.undistort:
+        cfg = dataclasses.replace(cfg, undistort_frames=True)
     frames = _load_frames(args.video)
     cam = _camera_from_args(args, frames.shape)
-    ref = initialize(jnp.asarray(frames[0]), cfg, crop=args.crop)
-    out = process_frames(jnp.asarray(frames), ref, cam, cfg, crop=args.crop)
+    out = run_video(jnp.asarray(frames), cam, cfg, crop=args.crop,
+                    apply_warmup=False)
     os.makedirs(args.output_dir, exist_ok=True)
     csv_path = os.path.join(args.output_dir, "markers.csv")
     write_tracking_csv(csv_path, out.tracked)
@@ -384,13 +387,15 @@ def cmd_run_live(args):
     from vision_basedsensor_tpu.pipeline import StreamingPipeline
     cfg = _load_cfg(args)
     cam = _camera_from_args(args, (0, cfg.capture.height, cfg.capture.width))
-    ref = carry = None
+    ref = carry = assoc_xy = None
     if args.resume and os.path.exists(args.resume):
-        ref, cfg, art, carry = load_session(args.resume)
-        if art is not None:
-            cam = art.to_camera()
+        sess = load_session(args.resume)
+        ref, cfg, assoc_xy = sess.ref, sess.config, sess.assoc_xy
+        carry = sess.scan_carry or None
+        if sess.calibration is not None:
+            cam = sess.calibration.to_camera()
         print(f"resumed session from {args.resume}")
-    sp = StreamingPipeline(cam, cfg, ref=ref, carry=carry or None)
+    sp = StreamingPipeline(cam, cfg, ref=ref, carry=carry, assoc_xy=assoc_xy)
     src = MjpegVideoSource(args.url, max_frames=args.max_frames)
     for out in sp.run(src, batch_size=args.batch):
         seen = np.asarray(out.recon.seen)
@@ -400,7 +405,8 @@ def cmd_run_live(args):
               f"{int(seen[-1].sum())}/65 markers, "
               f"mean displacement {mean_disp:.3f} mm", flush=True)
     if args.resume:
-        save_session(args.resume, sp.ref, cfg, scan_carry=sp.carry)
+        save_session(args.resume, sp.ref, cfg, scan_carry=sp.carry,
+                     assoc_xy=sp.assoc_xy)
         print(f"session saved to {args.resume}")
 
 
@@ -435,6 +441,9 @@ def main(argv=None):
     t.add_argument("video")
     t.add_argument("--output-dir", default="results")
     t.add_argument("--crop", action="store_true")
+    t.add_argument("--undistort", action="store_true",
+                   help="undistort frames before detection "
+                        "(marker_detection.py:88-109; needs --calibration)")
     t.add_argument("--annotate", action="store_true")
     t.add_argument("--calibration")
     t.add_argument("--extrinsics")

@@ -196,6 +196,12 @@ class PipelineConfig:
     analysis: AnalysisConfig = field(default_factory=AnalysisConfig)
     capture: CaptureConfig = field(default_factory=CaptureConfig)
     crop_ratios: Tuple[float, float, float, float] = (1 / 8, 1 / 8, 1 / 16, 0.0)
+    # Undistort frames (after crop, before detection) when a calibrated
+    # camera is available — the reference's optional preprocess
+    # (marker_detection.py:88-109). The pipeline then detects on rectified
+    # frames and reconstructs with the matching zero-distortion pinhole
+    # camera (pipeline.prepare_undistortion).
+    undistort_frames: bool = False
     max_markers: int = 65
     dtype: str = "float32"
 

@@ -122,6 +122,7 @@ class Finalized(NamedTuple):
     photo_axes: jnp.ndarray    # (K, 2)
     photo_angle: jnp.ndarray   # (K,)
     area_m0: jnp.ndarray       # (K,)
+    axis_scale: jnp.ndarray    # () half/soft calibration scalar actually applied
 
 
 def _ellipse(m0, mx, my, mxx, myy, mxy):
@@ -141,18 +142,23 @@ def _ellipse(m0, mx, my, mxx, myy, mxy):
 
 
 def finalize(sums: jnp.ndarray, peak_xy: jnp.ndarray,
-             valid: jnp.ndarray | None = None) -> Finalized:
+             valid: jnp.ndarray | None = None,
+             axis_scale: jnp.ndarray | None = None) -> Finalized:
     """Closed-form candidate geometry from the 24 window sums (peak-relative
     coordinates; centers are shifted back by ``peak_xy``).
 
     Photometric axes: soft-moment axes (clip-stable) rescaled by the
-    per-BATCH median of the half-level/soft major-axis ratio over ``valid``
-    candidates — the soft skirt's ~3% inflation is uniform across markers,
-    the half-level estimate is unbiased where blobs are unclipped, and a
-    single robust scalar transfers that calibration to every marker
-    (including clipped ones). One scalar for the whole batch keeps
-    frame-to-frame displacement differentials exact; only chunk boundaries
-    of a streaming run can see a (clamped, ~1%) scale step.
+    half-level/soft major-axis ratio — the soft skirt's ~3% inflation is
+    uniform across markers, the half-level estimate is unbiased where blobs
+    are unclipped, and a single robust scalar transfers that calibration to
+    every marker (including clipped ones).
+
+    ``axis_scale``: pass the scalar to apply (normally the one measured on
+    the session's frame 0, carried in ReferenceMarkers.axis_scale) — this
+    makes diameters/depths independent of how frames are batched or chunked.
+    With ``None`` the scale is the median ratio over ``valid`` candidates of
+    THIS batch (the right choice only for self-contained one-shot calls,
+    e.g. the frame-0 prologue that measures the scale in the first place).
     """
     s = sums
     bc = jnp.stack([s[..., 1], s[..., 2]], -1) / jnp.maximum(s[..., 0:1], 1e-12)
@@ -163,11 +169,14 @@ def finalize(sums: jnp.ndarray, peak_xy: jnp.ndarray,
     _, h_major, _, _ = _ellipse(s[..., 15], s[..., 16], s[..., 17],
                                 s[..., 18], s[..., 19], s[..., 20])
 
-    ratio = jnp.where((p_major > 1.0) & (h_major > 1.0) &
-                      (jnp.ones_like(p_major, bool) if valid is None else valid),
-                      h_major / jnp.maximum(p_major, 1e-9), jnp.nan)
-    scale = jnp.nanmedian(ratio)  # one scalar across the whole batch
-    scale = jnp.where(jnp.isfinite(scale), jnp.clip(scale, 0.9, 1.05), 1.0)
+    if axis_scale is None:
+        ratio = jnp.where((p_major > 1.0) & (h_major > 1.0) &
+                          (jnp.ones_like(p_major, bool) if valid is None else valid),
+                          h_major / jnp.maximum(p_major, 1e-9), jnp.nan)
+        scale = jnp.nanmedian(ratio)  # one scalar across the whole batch
+        scale = jnp.where(jnp.isfinite(scale), jnp.clip(scale, 0.9, 1.05), 1.0)
+    else:
+        scale = jnp.asarray(axis_scale, p_major.dtype)
     p_major = p_major * scale
     p_minor = p_minor * scale
 
@@ -176,4 +185,4 @@ def finalize(sums: jnp.ndarray, peak_xy: jnp.ndarray,
         area_center=ac + peak_xy,
         area_axes=jnp.stack([a_major, a_minor], -1), area_angle=a_angle,
         photo_axes=jnp.stack([p_major, p_minor], -1), photo_angle=p_angle,
-        area_m0=s[..., 3])
+        area_m0=s[..., 3], axis_scale=scale)

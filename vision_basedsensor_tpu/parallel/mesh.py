@@ -79,7 +79,7 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
             frames_c = crop_frames(frames, crop_ratios=cfg.crop_ratios)
         else:
             frames_c = frames
-        det = detect_markers(frames_c, cfg.detect)
+        det = detect_markers(frames_c, cfg.detect, axis_scale=ref.axis_scale)
         tracked = associate(ref, det, cfg.track.min_marker_distance_px)
         world, ok = reconstruct_positions(
             cam, tracked.xy, tracked.axes[..., 0], tracked.valid,

@@ -62,7 +62,9 @@ def associate(ref: ReferenceMarkers, det: Detections,
 
 
 def associate_sequential(ref: ReferenceMarkers, det: Detections,
-                         gate_px: float) -> TrackedFrames:
+                         gate_px: float,
+                         carry_xy: jnp.ndarray | None = None,
+                         return_carry: bool = False):
     """Association against each marker's *last sighting* instead of frame 0.
 
     The reference always gates against frame-0 positions (20 px,
@@ -72,6 +74,11 @@ def associate_sequential(ref: ReferenceMarkers, det: Detections,
     ``lax.scan`` over frames: detection stays fully batched; only the tiny
     (65 x K) matching runs serially. ``det`` must have exactly one leading
     frame axis.
+
+    ``carry_xy``: last-seen positions ``(65, 2)`` from a previous chunk, so a
+    chunked/streaming run keeps the last-sighting gating across chunk
+    boundaries (defaults to the frame-0 table). With ``return_carry`` the
+    final last-seen positions are returned alongside the result.
     """
     def step(carry_xy, det_t):
         d = jnp.linalg.norm(carry_xy[:, None, :] - det_t.xy[None, :, :], axis=-1)
@@ -87,6 +94,10 @@ def associate_sequential(ref: ReferenceMarkers, det: Detections,
                valid)
         return new_carry, out
 
-    _, (xy, axes, angle, valid) = jax.lax.scan(step, ref.xy, det)
-    return TrackedFrames(xy=xy, ref_xy=ref.xy, axes=axes, angle=angle,
-                         ring=ref.ring, valid=valid)
+    init = ref.xy if carry_xy is None else carry_xy
+    final_xy, (xy, axes, angle, valid) = jax.lax.scan(step, init, det)
+    tracked = TrackedFrames(xy=xy, ref_xy=ref.xy, axes=axes, angle=angle,
+                            ring=ref.ring, valid=valid)
+    if return_carry:
+        return tracked, final_xy
+    return tracked

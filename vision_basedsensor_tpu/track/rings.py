@@ -30,6 +30,11 @@ class ReferenceMarkers(NamedTuple):
     angle: jnp.ndarray   # (65,)
     ring: jnp.ndarray    # (65,) int32 ring index (0 = center)
     valid: jnp.ndarray   # (65,) bool
+    # Photometric axis calibration (half/soft major-axis ratio) measured on
+    # frame 0 and pinned for the session: every later detection pass reuses
+    # it, so diameters/depths don't depend on how frames are batched
+    # (ops/moments.finalize). 1.0 until the pipeline prologue fills it in.
+    axis_scale: jnp.ndarray | float = 1.0
 
 
 def kmeans_1d(values: jnp.ndarray, mask: jnp.ndarray, k: int, iters: int
