@@ -1,26 +1,34 @@
-"""End-to-end throughput benchmark on real hardware.
+"""End-to-end throughput benchmarks on real hardware.
 
-Measures the flagship path — batched frames -> detection -> association ->
-3D displacement field (the full marker->force+pose perception step) — in
-frames/sec on a single chip, against the north-star target of 1000 fps
-(BASELINE.json; the reference itself publishes no throughput and its capture
-path runs at 12 fps on a Raspberry Pi).
+Two measurements (each printed as one JSON line; the flagship compute metric
+is the LAST line, which the driver records):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is fps / 1000 (ratio to the north-star target).
+1. ``sustained_fps_decode_fed`` — the full production ingest path: an MJPG
+   ``.avi`` on disk (the reference's actual input format,
+   ``marker_detection.py:52``; MJPEG is what the capture server streams,
+   ``collecting.py:130``) -> parallel host JPEG decode (io/video.py
+   MjpegAviSource) -> double-buffered device feed -> the complete pipeline.
+   Host decode and TPU compute overlap; this is the number a deployment
+   actually sustains end to end.
+
+2. ``marker_to_pose_pipeline_fps_single_chip`` — the TPU step alone with
+   frames staged in HBM: batched frames -> detection -> association -> 3D
+   displacement field -> per-frame contact-plane tilt (the full
+   marker->force+pose perception step, C4..C15 including the analysis
+   stage). North star: 1000 fps (BASELINE.json; the reference publishes no
+   throughput and captures at 12 fps on a Raspberry Pi).
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
+import tempfile
 import time
 
 
-def main() -> None:
-    import os
-
+def _setup_jax():
     import jax
-    import jax.numpy as jnp
 
     # Persistent compilation cache: first-ever run pays the (remote) TPU
     # compile; subsequent bench invocations start hot.
@@ -30,24 +38,31 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    return jax
+
+
+def _render_sequence(batch):
+    """Realistic moving sequence (not timed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+    scene = default_scene(height=480, width=640)
+    d = jnp.zeros((batch, 65, 3), jnp.float32)
+    d = d.at[:, :, 2].add(-0.002 * jnp.arange(batch)[:, None])
+    frames = jax.block_until_ready(render_frames(scene, d))
+    return scene, frames
+
+
+def bench_compute(batch: int, iters: int) -> float:
+    import jax
 
     from vision_basedsensor_tpu.config import PipelineConfig, ReconstructConfig
     from vision_basedsensor_tpu.pipeline import initialize, process_frames
-    from vision_basedsensor_tpu.synth import default_scene, render_frames
-
-    # Large batch amortizes the per-dispatch round-trip (the attached chip is
-    # tunneled; ~29 ms/call measured, i.e. 57 us/frame at B=512).
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     cfg = PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))
-    scene = default_scene(height=480, width=640)
-
-    # Render a realistic moving sequence once (not timed).
-    d = jnp.zeros((batch, 65, 3), jnp.float32)
-    d = d.at[:, :, 2].add(-0.002 * jnp.arange(batch)[:, None])
-    frames = render_frames(scene, d)
-    frames = jax.block_until_ready(frames)
+    scene, frames = _render_sequence(batch)
     ref = initialize(frames[0], cfg)
 
     fwd = jax.jit(lambda f, r: process_frames(f, r, scene.cam, cfg))
@@ -60,8 +75,76 @@ def main() -> None:
         out = fwd(frames, ref)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    fps = batch * iters / dt
+
+def bench_decode_fed(n_frames: int, batch: int) -> tuple[float, float] | None:
+    """Returns (sustained_fps, decode_only_fps) or None when cv2 is absent."""
+    try:
+        import cv2  # noqa: F401
+    except Exception:
+        return None
+    import numpy as np
+
+    import jax
+
+    from vision_basedsensor_tpu.config import PipelineConfig, ReconstructConfig
+    from vision_basedsensor_tpu.io.video import (
+        MjpegAviSource, VideoWriter, device_feed)
+    from vision_basedsensor_tpu.pipeline import initialize, process_frames
+
+    cfg = PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))
+
+    # Write the bench video (setup, not timed).
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench.avi")
+        vw = VideoWriter(path, 12.0, (640, 480), fourcc="MJPG")
+        scene = None
+        for start in range(0, n_frames, 256):
+            scene, chunk = _render_sequence(min(256, n_frames - start))
+            for f in np.asarray(chunk).astype(np.uint8):
+                vw.write(f)
+        vw.close()
+
+        src = MjpegAviSource(path, gray=True)
+
+        # Decode-only throughput (the host-side ceiling).
+        t0 = time.perf_counter()
+        n_dec = sum(b.shape[0] for b in src.batches(batch))
+        decode_fps = n_dec / (time.perf_counter() - t0)
+
+        first = next(iter(src.batches(batch)))
+        ref = initialize(jax.numpy.asarray(first[0]), cfg)
+        fwd = jax.jit(lambda f, r: process_frames(f, r, scene.cam, cfg))
+        out = jax.block_until_ready(fwd(jax.numpy.asarray(first), ref))  # compile
+
+        t0 = time.perf_counter()
+        n = 0
+        for dev_batch in device_feed(src, batch):
+            out = fwd(dev_batch, ref)
+            n += dev_batch.shape[0]
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+    return n / dt, decode_fps
+
+
+def main() -> None:
+    _setup_jax()
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    decode = bench_decode_fed(n_frames=2048, batch=256)
+    if decode is not None:
+        sustained, decode_only = decode
+        print(json.dumps({
+            "metric": "sustained_fps_decode_fed",
+            "value": round(sustained, 1),
+            "unit": "frames/sec (640x480, MJPG avi -> host decode -> TPU)",
+            "vs_baseline": round(sustained / 1000.0, 3),
+            "decode_only_fps": round(decode_only, 1),
+        }))
+
+    fps = bench_compute(batch, iters)
     print(json.dumps({
         "metric": "marker_to_pose_pipeline_fps_single_chip",
         "value": round(fps, 1),

@@ -1,10 +1,13 @@
 from vision_basedsensor_tpu.analysis.force import (
+    ContactState,
     DeviationAnalysis,
     analyze_deviation,
+    contact_state_sequence,
     deviation_field,
     start_end_displacement,
 )
 from vision_basedsensor_tpu.analysis.series import displacement_statistics
 
-__all__ = ["DeviationAnalysis", "analyze_deviation", "deviation_field",
+__all__ = ["ContactState", "DeviationAnalysis", "analyze_deviation",
+           "contact_state_sequence", "deviation_field",
            "start_end_displacement", "displacement_statistics"]

@@ -31,6 +31,40 @@ class DeviationAnalysis(NamedTuple):
     mean_magnitude: jnp.ndarray  # scalar mean |deviation|
 
 
+class ContactState(NamedTuple):
+    """Per-frame contact state — the production-serving pose output."""
+    tilt_deg: jnp.ndarray        # (B,) contact-plane tilt per frame
+    plane: PlaneFit              # per-frame plane coefficients (each (B,))
+    mean_vector: jnp.ndarray     # (B, 3) mean displacement vector
+    mean_magnitude: jnp.ndarray  # (B,) mean |displacement|
+    valid: jnp.ndarray           # (B,) enough markers to fit a plane
+
+
+def contact_state_sequence(recon: Reconstruction, cfg: AnalysisConfig,
+                           initial_mode: str = "plane") -> ContactState:
+    """C14/C15 applied per frame in the hot path: contact-plane fit over each
+    frame's cumulative displacement field -> per-frame tilt angle.
+
+    The reference computes tilt once per *experiment pair* offline
+    (``ForceDistribution.py:138-162``); for live pose-misalignment
+    compensation (README.md:124) the same fit runs on every frame's
+    from-first-sighting field — a batched (B, 65) masked lstsq, negligible
+    next to detection."""
+    table = jnp.asarray(layout.dome_layout()[:, 1:], recon.world.dtype)
+    z0 = table[:, 2] if initial_mode == "shell" else jnp.zeros_like(table[:, 2])
+    start = jnp.stack([table[:, 0], table[:, 1], z0], axis=-1)   # (65, 3)
+    disp = cfg.deviation_scale * recon.from_first                # (B, 65, 3)
+    end = start[None] + disp
+    valid = recon.seen
+    plane = fit_plane(end, valid)
+    mean_vec = masked_mean(disp, valid[..., None], axis=-2)
+    mean_mag = masked_mean(jnp.linalg.norm(recon.from_first, axis=-1), valid,
+                           axis=-1)
+    return ContactState(tilt_deg=plane.tilt_deg, plane=plane,
+                        mean_vector=mean_vec, mean_magnitude=mean_mag,
+                        valid=valid.sum(-1) >= 3)
+
+
 def start_end_displacement(recon: Reconstruction,
                            start_range: tuple[int, int],
                            end_range: tuple[int, int]

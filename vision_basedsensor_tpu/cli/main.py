@@ -32,11 +32,17 @@ def _load_cfg(args):
 
 
 def _load_frames(path: str):
-    from vision_basedsensor_tpu.io.video import ArrayVideoSource, FileVideoSource
+    from vision_basedsensor_tpu.io.video import (
+        ArrayVideoSource, FileVideoSource, MjpegAviSource)
     if path.endswith((".npy", ".npz")):
         src = ArrayVideoSource(path)
     else:
-        src = FileVideoSource(path)
+        try:
+            # MJPG AVIs (what the acquisition stack records) decode on all
+            # host cores; other codecs fall back to sequential cv2.
+            src = MjpegAviSource(path)
+        except Exception:
+            src = FileVideoSource(path)
     return np.concatenate(list(src.batches(64)))
 
 

@@ -31,7 +31,9 @@ def masked_lstsq(A: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarr
     AtA = jnp.einsum("...np,...nq->...pq", Am, A)
     Atb = jnp.einsum("...np,...n->...p", Am, b)
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
-    return jnp.linalg.solve(AtA + 1e-9 * eye, Atb)
+    # [..., None]/[..., 0]: batched matrix-vector solve (jnp.linalg.solve
+    # treats a (..., N) rhs as a stack of matrices since JAX 0.5).
+    return jnp.linalg.solve(AtA + 1e-9 * eye, Atb[..., None])[..., 0]
 
 
 class PlaneFit(NamedTuple):

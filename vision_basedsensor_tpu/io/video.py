@@ -110,15 +110,101 @@ class SyntheticVideoSource(VideoSource):
             yield np.asarray(render_frames(self._scene, chunk)).astype(np.uint8)
 
 
-class VideoWriter:
-    """Annotated-video sink (XVID .avi like ``marker_detection.py:70-76``).
-    No-op when cv2 is absent."""
+def _iter_avi_video_chunks(buf: bytes):
+    """Yield raw stream-0 video frame payloads from an AVI byte buffer.
 
-    def __init__(self, path: str, fps: float, size_wh: tuple[int, int]):
+    Minimal RIFF walk of the 'movi' list: chunks are fourcc + LE32 size +
+    data (padded to even); video frames are '..dc'/'..db' chunks; 'rec '
+    LISTs are descended into; 'idx1' ends the stream. Enough structure for
+    the MJPG files our capture stack and cv2's MJPG writer produce.
+    """
+    i = buf.find(b"movi")
+    if i < 0:
+        raise ValueError("no 'movi' list found (not an AVI?)")
+    pos = i + 4
+    end = len(buf)
+    while pos + 8 <= end:
+        cc = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        if cc == b"idx1":
+            return
+        if cc == b"LIST":
+            pos += 12  # descend (skip the list-type fourcc)
+            continue
+        if cc[2:4] in (b"dc", b"db") and size > 0:
+            yield buf[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+class MjpegAviSource(VideoSource):
+    """Parallel-decode source for MJPG-encoded ``.avi`` files.
+
+    ``FileVideoSource`` (cv2.VideoCapture) decodes strictly sequentially —
+    the host-side wall for the >=1000 fps pipeline. Motion-JPEG frames are
+    independent, so this source demuxes the AVI itself (RIFF chunk walk) and
+    decodes JPEGs on a thread pool (cv2.imdecode releases the GIL), scaling
+    decode with host cores. MJPEG is also what the acquisition stack streams
+    (``collecting.py:130``), so recordings of the real sensor take this path.
+    """
+
+    def __init__(self, path: str, workers: int | None = None,
+                 gray: bool = False, fps: float = 12.0):
+        import os
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        first = next(_iter_avi_video_chunks(self._buf), None)
+        if first is None or not first.startswith(b"\xff\xd8"):
+            raise ValueError(f"{path}: not an MJPEG AVI (use FileVideoSource)")
+        self._workers = workers or min(32, (os.cpu_count() or 4))
+        self._gray = gray
+        self._fps = fps
+
+    @property
+    def fps(self) -> float:
+        return self._fps
+
+    def num_frames(self) -> int:
+        return sum(1 for _ in _iter_avi_video_chunks(self._buf))
+
+    def batches(self, batch_size: int) -> Iterator[np.ndarray]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        flag = 0 if self._gray else 1  # IMREAD_GRAYSCALE / IMREAD_COLOR
+        if _cv2 is not None:
+            def dec(chunk: bytes) -> np.ndarray:
+                return _cv2.imdecode(np.frombuffer(chunk, np.uint8), flag)
+        else:  # pragma: no cover
+            def dec(chunk: bytes) -> np.ndarray:
+                from io import BytesIO
+
+                from PIL import Image
+                img = Image.open(BytesIO(chunk))
+                if self._gray:
+                    return np.asarray(img.convert("L"))
+                return np.asarray(img.convert("RGB"))[..., ::-1].copy()
+
+        chunks = list(_iter_avi_video_chunks(self._buf))
+        buf = []
+        with ThreadPoolExecutor(self._workers) as ex:
+            for frame in ex.map(dec, chunks):
+                buf.append(frame)
+                if len(buf) == batch_size:
+                    yield np.stack(buf)
+                    buf = []
+        if buf:
+            yield np.stack(buf)
+
+
+class VideoWriter:
+    """Annotated-video sink (XVID .avi like ``marker_detection.py:70-76``;
+    pass ``fourcc='MJPG'`` for Motion-JPEG). No-op when cv2 is absent."""
+
+    def __init__(self, path: str, fps: float, size_wh: tuple[int, int],
+                 fourcc: str = "XVID"):
         self._writer = None
         if _cv2 is not None:
-            fourcc = _cv2.VideoWriter_fourcc(*"XVID")
-            self._writer = _cv2.VideoWriter(path, fourcc, fps, size_wh)
+            four = _cv2.VideoWriter_fourcc(*fourcc)
+            self._writer = _cv2.VideoWriter(path, four, fps, size_wh)
 
     def write(self, frame: np.ndarray) -> None:
         if self._writer is not None:

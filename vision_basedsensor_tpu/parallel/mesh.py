@@ -93,6 +93,9 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
         world = jax.lax.with_sharding_constraint(world, replicated)
         ok = jax.lax.with_sharding_constraint(ok, replicated)
         recon = displacement_scan(world, ok, cfg.reconstruct)
-        return PipelineOutputs(detections=det, tracked=tracked, recon=recon)
+        from vision_basedsensor_tpu.analysis.force import contact_state_sequence
+        contact = contact_state_sequence(recon, cfg.analysis)
+        return PipelineOutputs(detections=det, tracked=tracked, recon=recon,
+                               contact=contact)
 
     return step

@@ -38,6 +38,9 @@ class PipelineOutputs(NamedTuple):
     detections: Detections
     tracked: TrackedFrames
     recon: Reconstruction
+    # Per-frame contact state (C14/C15 in the hot path): tilt angle, mean
+    # displacement vector/magnitude. None only for constructors predating it.
+    contact: object | None = None
 
 
 def prepare_undistortion(cam: CameraModel, height: int, width: int,
@@ -107,7 +110,10 @@ def process_frames(frames: jnp.ndarray, ref: ReferenceMarkers,
         tracked = associate(ref, det, cfg.track.min_marker_distance_px)
     recon = reconstruct_sequence(cam, tracked, cfg.reconstruct,
                                  apply_warmup=apply_warmup)
-    return PipelineOutputs(detections=det, tracked=tracked, recon=recon)
+    from vision_basedsensor_tpu.analysis.force import contact_state_sequence
+    contact = contact_state_sequence(recon, cfg.analysis)
+    return PipelineOutputs(detections=det, tracked=tracked, recon=recon,
+                           contact=contact)
 
 
 def run_video(frames: jnp.ndarray, cam: CameraModel, cfg: PipelineConfig,
@@ -185,7 +191,11 @@ class StreamingPipeline:
             recon, carry_out = displacement_scan(world, ok, cfg.reconstruct,
                                                  carry=carry_in,
                                                  return_carry=True)
-            return PipelineOutputs(det, tracked, recon), carry_out, assoc_out
+            from vision_basedsensor_tpu.analysis.force import (
+                contact_state_sequence)
+            contact = contact_state_sequence(recon, cfg.analysis)
+            return (PipelineOutputs(det, tracked, recon, contact),
+                    carry_out, assoc_out)
 
         self._chunk = _chunk
         self._initial_carry = initial_carry
