@@ -78,8 +78,8 @@ def bench_compute(batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
-def bench_decode_fed(n_frames: int, batch: int) -> tuple[float, float] | None:
-    """Returns (sustained_fps, decode_only_fps) or None when cv2 is absent."""
+def bench_decode_fed(n_frames: int, batch: int) -> dict | None:
+    """Returns {sustained_fps, decode_only_fps, backend} or None (no cv2)."""
     try:
         import cv2  # noqa: F401
     except Exception:
@@ -90,7 +90,7 @@ def bench_decode_fed(n_frames: int, batch: int) -> tuple[float, float] | None:
 
     from vision_basedsensor_tpu.config import PipelineConfig, ReconstructConfig
     from vision_basedsensor_tpu.io.video import (
-        MjpegAviSource, VideoWriter, device_feed)
+        MjpegAviSource, MjpegAviTpuSource, VideoWriter, device_feed)
     from vision_basedsensor_tpu.pipeline import initialize, process_frames
 
     cfg = PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))
@@ -106,26 +106,52 @@ def bench_decode_fed(n_frames: int, batch: int) -> tuple[float, float] | None:
                 vw.write(f)
         vw.close()
 
-        src = MjpegAviSource(path, gray=True)
+        # Two ingest backends; report the better sustained number.
+        # - host_libjpeg: parallel cv2.imdecode -> raw gray frames to device
+        #   (wins on multi-core hosts; frame bytes ride the host->TPU link).
+        # - tpu_idct: native C++ entropy decode -> DCT coefficients to
+        #   device -> MXU dequant+IDCT (host does only the serial Huffman
+        #   work; wins when host cores, not the link, are the wall).
+        def sources():
+            yield "host_libjpeg", lambda: MjpegAviSource(path, gray=True)
+            try:
+                MjpegAviTpuSource(path)
+                yield "tpu_idct", lambda: MjpegAviTpuSource(path)
+            except Exception:
+                pass
 
-        # Decode-only throughput (the host-side ceiling).
-        t0 = time.perf_counter()
-        n_dec = sum(b.shape[0] for b in src.batches(batch))
-        decode_fps = n_dec / (time.perf_counter() - t0)
+        results = {}
+        for backend, make in sources():
+            src = make()
+            # Decode-only throughput (the ingest ceiling); keep the first
+            # batch for compile/ref.
+            first = None
+            t0 = time.perf_counter()
+            n_dec = 0
+            for b in src.batches(batch):
+                if first is None:
+                    first = b
+                n_dec += b.shape[0]
+            jax.block_until_ready(b) if backend == "tpu_idct" else None
+            decode_fps = n_dec / (time.perf_counter() - t0)
 
-        first = next(iter(src.batches(batch)))
-        ref = initialize(jax.numpy.asarray(first[0]), cfg)
-        fwd = jax.jit(lambda f, r: process_frames(f, r, scene.cam, cfg))
-        out = jax.block_until_ready(fwd(jax.numpy.asarray(first), ref))  # compile
+            ref = initialize(jax.numpy.asarray(first[0]), cfg)
+            fwd = jax.jit(lambda f, r: process_frames(f, r, scene.cam, cfg))
+            jax.block_until_ready(fwd(jax.numpy.asarray(first), ref))
 
-        t0 = time.perf_counter()
-        n = 0
-        for dev_batch in device_feed(src, batch):
-            out = fwd(dev_batch, ref)
-            n += dev_batch.shape[0]
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-    return n / dt, decode_fps
+            t0 = time.perf_counter()
+            n = 0
+            for dev_batch in device_feed(src, batch):
+                out = fwd(dev_batch, ref)
+                n += dev_batch.shape[0]
+            jax.block_until_ready(out)
+            results[backend] = (n / (time.perf_counter() - t0), decode_fps)
+
+    best = max(results, key=lambda k: results[k][0])
+    return {"sustained_fps": results[best][0],
+            "decode_only_fps": results[best][1], "backend": best,
+            "all": {k: [round(v[0], 1), round(v[1], 1)]
+                    for k, v in results.items()}}
 
 
 def main() -> None:
@@ -135,13 +161,14 @@ def main() -> None:
 
     decode = bench_decode_fed(n_frames=2048, batch=256)
     if decode is not None:
-        sustained, decode_only = decode
         print(json.dumps({
             "metric": "sustained_fps_decode_fed",
-            "value": round(sustained, 1),
-            "unit": "frames/sec (640x480, MJPG avi -> host decode -> TPU)",
-            "vs_baseline": round(sustained / 1000.0, 3),
-            "decode_only_fps": round(decode_only, 1),
+            "value": round(decode["sustained_fps"], 1),
+            "unit": "frames/sec (640x480, MJPG avi -> decode -> TPU)",
+            "vs_baseline": round(decode["sustained_fps"] / 1000.0, 3),
+            "decode_only_fps": round(decode["decode_only_fps"], 1),
+            "decode_backend": decode["backend"],
+            "backends": decode["all"],
         }))
 
     fps = bench_compute(batch, iters)

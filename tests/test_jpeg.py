@@ -1,0 +1,105 @@
+"""TPU JPEG decode path: native entropy decoder + MXU IDCT vs libjpeg."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _lib_or_skip():
+    from vision_basedsensor_tpu.native import load_jpeg_lib
+    lib = load_jpeg_lib()
+    if lib is None:
+        pytest.skip("no C++ compiler available for the native JPEG decoder")
+    return lib
+
+
+def _textured(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = (np.add.outer(np.sin(np.arange(h) / 13.0),
+                        np.cos(np.arange(w) / 29.0)) * 55 + 120)
+    img += rng.normal(0, 9, (h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality", [50, 70, 95])
+@pytest.mark.parametrize("shape", [(480, 640), (240, 320), (41, 67)])
+def test_decode_matches_libjpeg(quality, shape):
+    """Dequant+IDCT on device must match libjpeg's full decode to IDCT
+    rounding (libjpeg uses an integer IDCT; ours is the exact float one)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    img = _textured(*shape)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, quality])
+    assert ok
+    ref = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+
+    out = np.asarray(MjpegBatchDecoder().decode([enc.tobytes()]))[0]
+    assert out.shape == ref.shape
+    d = np.abs(out - ref)
+    assert d.max() <= 2.0, d.max()
+    assert d.mean() < 0.2, d.mean()
+
+
+def test_decode_color_jpeg_luma(tmp_path):
+    """3-component 4:2:0 JPEGs (what the capture server streams): the
+    decoder must skip chroma correctly and return the Y channel."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    gray = _textured(120, 160, seed=3)
+    color = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
+    ok, enc = cv2.imencode(".jpg", color, [cv2.IMWRITE_JPEG_QUALITY, 70])
+    ref = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+    out = np.asarray(MjpegBatchDecoder().decode([enc.tobytes()]))[0]
+    assert np.abs(out - ref).max() <= 2.0
+
+
+def test_restart_markers():
+    """DRI/RSTn streams (some cameras emit them) decode correctly."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    img = _textured(64, 96, seed=5)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 80,
+                                         cv2.IMWRITE_JPEG_RST_INTERVAL, 2])
+    jpeg = enc.tobytes()
+    assert b"\xff\xdd" in jpeg[:1000]  # DRI present
+    ref = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+    out = np.asarray(MjpegBatchDecoder().decode([jpeg]))[0]
+    assert np.abs(out - ref).max() <= 2.0
+
+
+def test_tpu_avi_source_matches_host_source(tmp_path):
+    """MjpegAviTpuSource frames == MjpegAviSource frames within IDCT
+    rounding, and the detector sees identical markers through both."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.config import DetectConfig
+    from vision_basedsensor_tpu.detect import detect_markers
+    from vision_basedsensor_tpu.io.video import (
+        MjpegAviSource, MjpegAviTpuSource, VideoWriter)
+    from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+    scene = default_scene(height=240, width=320)
+    d = jnp.zeros((4, 65, 3), jnp.float32)
+    d = d.at[:, :, 2].add(-0.4 * jnp.arange(4)[:, None])
+    frames = np.asarray(render_frames(scene, d)).astype(np.uint8)
+    path = str(tmp_path / "clip.avi")
+    vw = VideoWriter(path, 12.0, (320, 240), fourcc="MJPG")
+    for f in frames:
+        vw.write(f)
+    vw.close()
+
+    host = np.concatenate(list(MjpegAviSource(path, gray=True).batches(2)))
+    tpu = np.concatenate([np.asarray(b)
+                          for b in MjpegAviTpuSource(path).batches(2)])
+    assert tpu.shape == host.shape == (4, 240, 320)
+    assert np.abs(tpu - host.astype(np.float32)).max() <= 2.0
+
+    det_h = detect_markers(jnp.asarray(host.astype(np.float32)), DetectConfig())
+    det_t = detect_markers(jnp.asarray(tpu), DetectConfig())
+    vh, vt = np.asarray(det_h.valid), np.asarray(det_t.valid)
+    assert (vh.sum(1) == vt.sum(1)).all()
+    for t in range(4):
+        for p in np.asarray(det_h.xy)[t][vh[t]]:
+            assert np.linalg.norm(np.asarray(det_t.xy)[t][vt[t]] - p,
+                                  axis=1).min() < 0.1

@@ -183,16 +183,68 @@ class MjpegAviSource(VideoSource):
                     return np.asarray(img.convert("L"))
                 return np.asarray(img.convert("RGB"))[..., ::-1].copy()
 
-        chunks = list(_iter_avi_video_chunks(self._buf))
+        # Lazy submission with a bounded lookahead (2 batches): Executor.map
+        # would submit every frame up front, so an abandoned generator (or a
+        # slow consumer) keeps burning CPU on frames nobody will read.
+        from collections import deque
+        from itertools import islice
+
+        chunks = iter(_iter_avi_video_chunks(self._buf))
         buf = []
         with ThreadPoolExecutor(self._workers) as ex:
-            for frame in ex.map(dec, chunks):
+            pending = deque(ex.submit(dec, c)
+                            for c in islice(chunks, 2 * batch_size))
+            while pending:
+                frame = pending.popleft().result()
+                nxt = next(chunks, None)
+                if nxt is not None:
+                    pending.append(ex.submit(dec, nxt))
                 buf.append(frame)
                 if len(buf) == batch_size:
                     yield np.stack(buf)
                     buf = []
         if buf:
             yield np.stack(buf)
+
+
+class MjpegAviTpuSource(VideoSource):
+    """MJPEG ``.avi`` -> gray frames decoded ON the TPU.
+
+    The speed-of-light ingest path for weak hosts: the only host work per
+    frame is the native C++ Huffman entropy decode (ops/jpeg.py,
+    native/jpeg_coeffs.cpp); dequantization + the 8x8 IDCT + reassembly run
+    as batched MXU matmuls on device. ``batches`` yields committed DEVICE
+    float32 arrays (measured on the 1-core driver host: entropy decode
+    ~0.28 ms/frame vs ~0.45 ms full libjpeg, and the IDCT FLOPs leave the
+    host entirely).
+
+    Raises at construction when the native decoder can't be built — fall
+    back to :class:`MjpegAviSource`.
+    """
+
+    def __init__(self, path: str, fps: float = 12.0):
+        from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        first = next(_iter_avi_video_chunks(self._buf), None)
+        if first is None or not first.startswith(b"\xff\xd8"):
+            raise ValueError(f"{path}: not an MJPEG AVI")
+        self._dec = MjpegBatchDecoder()
+        self._fps = fps
+
+    @property
+    def fps(self) -> float:
+        return self._fps
+
+    def batches(self, batch_size: int):
+        chunks = []
+        for c in _iter_avi_video_chunks(self._buf):
+            chunks.append(c)
+            if len(chunks) == batch_size:
+                yield self._dec.decode(chunks)
+                chunks = []
+        if chunks:
+            yield self._dec.decode(chunks)
 
 
 class VideoWriter:

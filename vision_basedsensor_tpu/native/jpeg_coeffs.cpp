@@ -1,0 +1,370 @@
+// Baseline-JPEG entropy decoder: bytes -> luma DCT coefficients.
+//
+// The host-side half of the framework's TPU JPEG decode path (ops/jpeg.py).
+// Full host JPEG decode (libjpeg via cv2.imdecode) spends most of its time
+// in the IDCT + color stages, which are dense linear algebra — exactly what
+// the TPU's MXU eats. The only genuinely serial, branchy part of JPEG is the
+// Huffman entropy decode, so that is all this file does: parse the headers,
+// entropy-decode the scan, and emit the luma (Y) component's quantized DCT
+// coefficients in natural (de-zigzagged) order plus the quantization table.
+// Dequantization, the 8x8 IDCT (two small matmuls), level shift, and block
+// reassembly all run batched on the TPU.
+//
+// Scope: baseline sequential DCT (SOF0), 8-bit, Huffman, 1 or 3 components,
+// luma sampling factors up to 2x2 with 1x1 chroma (covers libjpeg/cv2
+// MJPG/imencode output and the acquisition server's stream,
+// collecting.py:130). Restart markers (DRI/RSTn) supported. Chroma
+// coefficients are decoded (the bitstream is interleaved) but not stored —
+// the perception pipeline is grayscale (marker_detection.py:114).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint32_t bits = 0;   // bit accumulator (MSB-aligned usage)
+  int nbits = 0;       // valid bits in accumulator
+  bool saw_marker = false;
+
+  explicit BitReader(const uint8_t* data, const uint8_t* e) : p(data), end(e) {}
+
+  // Pull one byte of entropy-coded data, handling 0xFF00 stuffing.
+  // On a real marker (RSTn/EOI/...), stops feeding (zeros thereafter).
+  inline void fill() {
+    while (nbits <= 24) {
+      uint8_t b = 0;
+      if (p < end && !saw_marker) {
+        b = *p;
+        if (b == 0xFF) {
+          const uint8_t nxt = (p + 1 < end) ? p[1] : 0xD9;
+          if (nxt == 0x00) {
+            p += 2;  // stuffed FF
+          } else {
+            saw_marker = true;  // leave p AT the 0xFF of the marker
+            b = 0;
+          }
+        } else {
+          ++p;
+        }
+      }
+      bits |= static_cast<uint32_t>(b) << (24 - nbits);
+      nbits += 8;
+    }
+  }
+
+  inline uint32_t peek(int n) {
+    if (nbits < n) fill();
+    return bits >> (32 - n);
+  }
+
+  inline void skip(int n) {
+    bits <<= n;
+    nbits -= n;
+  }
+
+  inline int32_t receive_extend(int s) {
+    if (s == 0) return 0;
+    if (nbits < s) fill();
+    int32_t v = static_cast<int32_t>(bits >> (32 - s));
+    skip(s);
+    if (v < (1 << (s - 1))) v -= (1 << s) - 1;  // T.81 EXTEND
+    return v;
+  }
+
+  // Byte-align and consume an expected RSTn marker.
+  inline bool restart() {
+    bits = 0;
+    nbits = 0;
+    if (!saw_marker) {
+      // Scan forward to the marker (tolerate padding bits).
+      while (p < end && *p != 0xFF) ++p;
+    }
+    if (p + 1 >= end) return false;
+    if (p[0] == 0xFF && p[1] >= 0xD0 && p[1] <= 0xD7) {
+      p += 2;
+      saw_marker = false;
+      return true;
+    }
+    return false;
+  }
+};
+
+struct Huff {
+  // Two-level decode: 9-bit lookahead LUT, then the T.81 min/max-code walk.
+  uint8_t lut_sym[512];
+  int8_t lut_len[512];
+  int32_t mincode[17];
+  int32_t maxcode[18];
+  int32_t valptr[17];
+  uint8_t vals[256];
+  bool ok = false;
+
+  void build(const uint8_t counts[16], const uint8_t* symbols, int nsym) {
+    std::memcpy(vals, symbols, nsym);
+    int code = 0, k = 0;
+    uint16_t codes[256];
+    uint8_t sizes[256];
+    for (int l = 1; l <= 16; ++l) {
+      valptr[l] = k;
+      mincode[l] = code;
+      for (int i = 0; i < counts[l - 1]; ++i) {
+        codes[k] = static_cast<uint16_t>(code);
+        sizes[k] = static_cast<uint8_t>(l);
+        ++code;
+        ++k;
+      }
+      maxcode[l] = code - 1;
+      code <<= 1;
+    }
+    maxcode[17] = 0x7FFFFFFF;
+    for (int i = 0; i < 512; ++i) lut_len[i] = 0;
+    for (int i = 0; i < k; ++i) {
+      if (sizes[i] <= 9) {
+        const int shift = 9 - sizes[i];
+        const int base = codes[i] << shift;
+        for (int j = 0; j < (1 << shift); ++j) {
+          lut_sym[base + j] = vals[i];
+          lut_len[base + j] = static_cast<int8_t>(sizes[i]);
+        }
+      }
+    }
+    ok = true;
+  }
+
+  inline int decode(BitReader& br) const {
+    const uint32_t look = br.peek(9);
+    const int8_t l = lut_len[look];
+    if (l != 0) {
+      br.skip(l);
+      return lut_sym[look];
+    }
+    // Long code: walk lengths 10..16.
+    int32_t code = static_cast<int32_t>(br.peek(16));
+    for (int len = 10; len <= 16; ++len) {
+      const int32_t c = code >> (16 - len);
+      if (c <= maxcode[len]) {
+        br.skip(len);
+        return vals[valptr[len] + (c - mincode[len])];
+      }
+    }
+    return -1;  // corrupt stream
+  }
+};
+
+const uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct Component {
+  int id = 0, h = 1, v = 1, tq = 0, td = 0, ta = 0;
+  int32_t pred = 0;
+};
+
+inline int rd16(const uint8_t* p) { return (p[0] << 8) | p[1]; }
+
+}  // namespace
+
+extern "C" {
+
+// Decode the Y-component DCT coefficients of a baseline JPEG.
+//
+//   data/len     : the JPEG bytes
+//   out_coeffs   : int16 buffer for >= max_blocks * 64 values, filled with
+//                  de-zigzagged quantized coefficients, block row-major
+//   max_blocks   : capacity of out_coeffs in blocks
+//   out_meta     : int32[4] = {width, height, blocks_wide, blocks_high}
+//   out_qtable   : uint16[64] luma quantization table (natural order)
+//
+// Returns 0 on success, negative error codes otherwise.
+int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
+                      int max_blocks, int* out_meta, uint16_t* out_qtable) {
+  if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
+  const uint8_t* p = data + 2;
+  const uint8_t* end = data + len;
+
+  uint16_t qtables[4][64];
+  bool qseen[4] = {false, false, false, false};
+  Huff huff_dc[4], huff_ac[4];
+  Component comp[3];
+  int ncomp = 0, width = 0, height = 0, restart_interval = 0;
+
+  while (p + 4 <= end) {
+    if (*p != 0xFF) return -2;
+    uint8_t marker = p[1];
+    p += 2;
+    if (marker == 0xD9) return -3;           // EOI before SOS
+    if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) continue;
+    if (p + 2 > end) return -2;
+    const int seglen = rd16(p);
+    const uint8_t* seg = p + 2;
+    const uint8_t* segend = p + seglen;
+    if (segend > end) return -2;
+
+    switch (marker) {
+      case 0xDB:  // DQT
+        while (seg < segend) {
+          const int pq = seg[0] >> 4, tq = seg[0] & 15;
+          ++seg;
+          if (tq > 3) return -4;
+          for (int i = 0; i < 64; ++i) {
+            const int v = pq ? rd16(seg + 2 * i) : seg[i];
+            qtables[tq][kZigzag[i]] = static_cast<uint16_t>(v);
+          }
+          qseen[tq] = true;
+          seg += pq ? 128 : 64;
+        }
+        break;
+      case 0xC0: {  // SOF0 baseline
+        height = rd16(seg + 1);
+        width = rd16(seg + 3);
+        ncomp = seg[5];
+        if (ncomp != 1 && ncomp != 3) return -5;
+        for (int c = 0; c < ncomp; ++c) {
+          comp[c].id = seg[6 + 3 * c];
+          comp[c].h = seg[7 + 3 * c] >> 4;
+          comp[c].v = seg[7 + 3 * c] & 15;
+          comp[c].tq = seg[8 + 3 * c];
+          if (comp[c].h < 1 || comp[c].h > 2 || comp[c].v < 1 || comp[c].v > 2)
+            return -6;
+          if (c > 0 && (comp[c].h != 1 || comp[c].v != 1)) return -6;
+        }
+        break;
+      }
+      case 0xC1: case 0xC2: case 0xC3: case 0xC5: case 0xC6: case 0xC7:
+      case 0xC9: case 0xCA: case 0xCB: case 0xCD: case 0xCE: case 0xCF:
+        return -7;  // non-baseline SOF
+      case 0xC4:  // DHT
+        while (seg + 17 <= segend) {
+          const int tc = seg[0] >> 4, th = seg[0] & 15;
+          if (th > 3) return -8;
+          int nsym = 0;
+          for (int i = 0; i < 16; ++i) nsym += seg[1 + i];
+          if (seg + 17 + nsym > segend || nsym > 256) return -8;
+          (tc ? huff_ac[th] : huff_dc[th]).build(seg + 1, seg + 17, nsym);
+          seg += 17 + nsym;
+        }
+        break;
+      case 0xDD:  // DRI
+        restart_interval = rd16(seg);
+        break;
+      case 0xDA: {  // SOS — entropy-coded data follows
+        const int ns = seg[0];
+        if (ns != ncomp) return -9;  // only interleaved single-scan
+        for (int s = 0; s < ns; ++s) {
+          const int cid = seg[1 + 2 * s];
+          for (int c = 0; c < ncomp; ++c) {
+            if (comp[c].id == cid) {
+              comp[c].td = seg[2 + 2 * s] >> 4;
+              comp[c].ta = seg[2 + 2 * s] & 15;
+            }
+          }
+        }
+        if (width <= 0 || height <= 0) return -10;
+        if (!qseen[comp[0].tq]) return -10;
+
+        const int h0 = comp[0].h, v0 = comp[0].v;
+        const int mcux = (width + 8 * h0 - 1) / (8 * h0);
+        const int mcuy = (height + 8 * v0 - 1) / (8 * v0);
+        const int bw = mcux * h0, bh = mcuy * v0;
+        if (bw * bh > max_blocks) return -11;
+
+        out_meta[0] = width;
+        out_meta[1] = height;
+        out_meta[2] = bw;
+        out_meta[3] = bh;
+        for (int i = 0; i < 64; ++i) out_qtable[i] = qtables[comp[0].tq][i];
+        std::memset(out_coeffs, 0,
+                    static_cast<size_t>(bw) * bh * 64 * sizeof(int16_t));
+
+        BitReader br(segend, end);
+        int mcu_count = 0;
+        int16_t scratch[64];
+        for (int my = 0; my < mcuy; ++my) {
+          for (int mx = 0; mx < mcux; ++mx) {
+            if (restart_interval && mcu_count == restart_interval) {
+              if (!br.restart()) return -12;
+              for (int c = 0; c < ncomp; ++c) comp[c].pred = 0;
+              mcu_count = 0;
+            }
+            ++mcu_count;
+            for (int c = 0; c < ncomp; ++c) {
+              const Huff& hdc = huff_dc[comp[c].td];
+              const Huff& hac = huff_ac[comp[c].ta];
+              if (!hdc.ok || !hac.ok) return -13;
+              const int nb = (c == 0) ? h0 * v0 : 1;
+              for (int b = 0; b < nb; ++b) {
+                int16_t* dst;
+                if (c == 0) {
+                  const int by = my * v0 + b / h0;
+                  const int bx = mx * h0 + b % h0;
+                  dst = out_coeffs + (static_cast<size_t>(by) * bw + bx) * 64;
+                } else {
+                  std::memset(scratch, 0, sizeof(scratch));
+                  dst = scratch;
+                }
+                // DC
+                const int t = hdc.decode(br);
+                if (t < 0 || t > 15) return -14;
+                comp[c].pred += br.receive_extend(t);
+                if (c == 0) dst[0] = static_cast<int16_t>(comp[c].pred);
+                // AC
+                for (int k = 1; k < 64;) {
+                  const int rs = hac.decode(br);
+                  if (rs < 0) return -14;
+                  const int r = rs >> 4, s = rs & 15;
+                  if (s == 0) {
+                    if (r != 15) break;  // EOB (ZRL otherwise)
+                    k += 16;
+                  } else {
+                    k += r;
+                    if (k > 63) return -14;
+                    const int32_t v = br.receive_extend(s);
+                    if (c == 0) dst[kZigzag[k]] = static_cast<int16_t>(v);
+                    ++k;
+                  }
+                }
+              }
+            }
+          }
+        }
+        return 0;
+      }
+      default:
+        break;  // APPn, COM, ...
+    }
+    p = segend;
+  }
+  return -15;  // no SOS found
+}
+
+// Batch variant: decode `n` JPEGs (concatenated in `data` at `offsets`,
+// sizes `sizes`) into one coefficient tensor. All frames must share
+// identical geometry (an MJPEG stream does); frame 0's metadata is the
+// contract. Quantization tables are PER FRAME (out_qtable is uint16[n*64]):
+// MJPEG writers (cv2's included) adapt quality frame by frame. Returns the
+// number of successfully decoded frames (stops at the first geometry
+// mismatch or parse error).
+int vbs_mjpeg_batch_y_coeffs(const uint8_t* data, const int64_t* offsets,
+                             const int32_t* sizes, int n, int16_t* out_coeffs,
+                             int blocks_per_frame, int* out_meta,
+                             uint16_t* out_qtable) {
+  int meta[4];
+  for (int i = 0; i < n; ++i) {
+    int16_t* dst = out_coeffs + static_cast<size_t>(i) * blocks_per_frame * 64;
+    const int rc = vbs_jpeg_y_coeffs(data + offsets[i], sizes[i], dst,
+                                     blocks_per_frame, i == 0 ? out_meta : meta,
+                                     out_qtable + static_cast<size_t>(i) * 64);
+    if (rc != 0) return i;
+    if (i > 0 && (meta[2] * meta[3] != out_meta[2] * out_meta[3])) return i;
+  }
+  return n;
+}
+
+}  // extern "C"
