@@ -207,9 +207,12 @@ def _make_handler(camera: CameraHandler, cfg: CaptureConfig):
                 try:
                     while camera.running:
                         jpeg = camera.get_frame()
-                        self.wfile.write(b"--frame\r\n"
-                                         b"Content-Type: image/jpeg\r\n\r\n"
-                                         + jpeg + b"\r\n")
+                        self.wfile.write(
+                            b"--frame\r\n"
+                            b"Content-Type: image/jpeg\r\n"
+                            b"Content-Length: "
+                            + str(len(jpeg)).encode() + b"\r\n\r\n"
+                            + jpeg + b"\r\n")
                         time.sleep(1.0 / max(1, cfg.fps))
                 except (ConnectionError, BrokenPipeError):
                     pass

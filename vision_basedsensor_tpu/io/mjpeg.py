@@ -30,25 +30,67 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     return np.asarray(Image.open(BytesIO(buf)))[..., ::-1].copy()  # RGB->BGR
 
 
-def iter_mjpeg(url: str, boundary: bytes = b"--frame",
+def iter_mjpeg(url: str, boundary: bytes | None = None,
                timeout: float = 10.0, max_frames: int | None = None
                ) -> Iterator[np.ndarray]:
-    """Yield decoded BGR frames from an MJPEG stream URL."""
+    """Yield decoded BGR frames from an MJPEG stream URL.
+
+    Parses the ``multipart/x-mixed-replace`` structure properly: the
+    boundary comes from the Content-Type header (overridable), each part's
+    headers are read, and the payload length comes from Content-Length when
+    the server sends one (ours does) — scanning raw bytes for JPEG
+    SOI/EOI magic would truncate frames whose EXIF/JFIF thumbnail embeds an
+    inner EOI (real cameras do this; cv2.imencode doesn't).
+    Without Content-Length the payload runs to the next boundary.
+    """
     with urllib.request.urlopen(url, timeout=timeout) as resp:
+        if boundary is None:
+            ctype = resp.headers.get("Content-Type", "")
+            b = "frame"
+            for piece in ctype.split(";"):
+                piece = piece.strip()
+                if piece.startswith("boundary="):
+                    b = piece[len("boundary="):].strip('"')
+            boundary = b"--" + b.encode()
+
         buf = b""
         count = 0
         while max_frames is None or count < max_frames:
-            chunk = resp.read(4096)
+            chunk = resp.read(65536)
             if not chunk:
                 break
             buf += chunk
             while True:
-                start = buf.find(b"\xff\xd8")  # JPEG SOI
-                end = buf.find(b"\xff\xd9", start + 2)  # JPEG EOI
-                if start == -1 or end == -1:
+                start = buf.find(boundary)
+                if start == -1:
                     break
-                frame = _decode_jpeg(buf[start:end + 2])
-                buf = buf[end + 2:]
+                hdr_end = buf.find(b"\r\n\r\n", start)
+                if hdr_end == -1:
+                    break
+                headers = buf[start + len(boundary):hdr_end]
+                length = None
+                for line in headers.split(b"\r\n"):
+                    k, _, v = line.partition(b":")
+                    if k.strip().lower() == b"content-length":
+                        try:
+                            length = int(v.strip())
+                        except ValueError:
+                            length = None
+                payload_start = hdr_end + 4
+                if length is not None:
+                    if len(buf) < payload_start + length:
+                        break  # need more bytes
+                    frame_bytes = buf[payload_start:payload_start + length]
+                    buf = buf[payload_start + length:]
+                else:
+                    nxt = buf.find(boundary, payload_start)
+                    if nxt == -1:
+                        break
+                    frame_bytes = buf[payload_start:nxt].rstrip(b"\r\n")
+                    buf = buf[nxt:]
+                if not frame_bytes:
+                    continue
+                frame = _decode_jpeg(frame_bytes)
                 count += 1
                 yield frame
                 if max_frames is not None and count >= max_frames:
