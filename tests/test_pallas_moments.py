@@ -48,6 +48,54 @@ def test_pallas_sums_match_xla(fields):
     np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-3)
 
 
+def test_pallas_border_peaks_match_xla(fields):
+    """Peaks pushed against every image border (ADVICE round 1): the XLA
+    patch clamps into the image while the kernel's aligned window covers a
+    superset — with radial_cutoff <= patch/2 (enforced) both gate the
+    identical in-image pixel set, so the sums must still agree."""
+    cfg, prof, gray, band, area_open, peaks = fields
+    h, w = gray.shape[-2:]
+    k = peaks.xy.shape[0]
+    # Synthetic peaks hugging the corners/edges (sub-pixel offsets included).
+    edge_xy = jnp.asarray([
+        [1.2, 1.7], [w - 2.1, 1.3], [1.4, h - 1.8], [w - 1.6, h - 2.2],
+        [w / 2, 0.6], [0.4, h / 2], [w - 1.0, h / 2], [w / 2, h - 1.0],
+    ], jnp.float32)
+    xy = jnp.concatenate([edge_xy,
+                          jnp.zeros((k - edge_xy.shape[0], 2), jnp.float32)])
+    valid = jnp.arange(k) < edge_xy.shape[0]
+    from vision_basedsensor_tpu.ops.peaks import Peaks
+    pk = Peaks(xy=xy, score=jnp.ones(k), valid=valid)
+    geom = cut_geometry(pk)
+    sx = np.asarray(window_sums_xla(band, area_open, gray, pk, geom, prof))
+    sp = np.asarray(window_sums_pallas(band, area_open, gray, pk, geom,
+                                       prof, interpret=True))
+    a, b = sx[np.asarray(valid)], sp[np.asarray(valid)]
+    fin = np.isfinite(a)
+    np.testing.assert_array_equal(fin, np.isfinite(b))
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_rejects_short_frames(fields):
+    """H < patch_size + 8 would make the row DMA read out of bounds; the
+    kernel must refuse (the detector falls back to XLA automatically)."""
+    cfg, prof, gray, band, area_open, peaks = fields
+    geom = cut_geometry(peaks)
+    short = gray[:40]  # < patch_size + 8 = 48
+    with pytest.raises(ValueError, match="patch_size"):
+        window_sums_pallas(band[:40], area_open[:40], short, peaks, geom,
+                           prof, interpret=True)
+
+
+def test_detect_short_frame_falls_back_to_xla():
+    """End-to-end: a frame shorter than patch+8 must not crash with the
+    pallas backend requested — the detector silently uses XLA."""
+    scene = default_scene(44, 256)
+    frame = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))
+    det = detect_markers(frame, DetectConfig(backend="pallas"))
+    assert np.asarray(det.valid).shape[-1] == DetectConfig().max_candidates
+
+
 def test_detect_pallas_backend_end_to_end(fields):
     scene = default_scene(240, 320)
     frame = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))

@@ -69,9 +69,13 @@ def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     # Mosaic requires 128-aligned lane slices: the kernel's column windows
-    # need W % 128 == 0 (and >= 256 for the window size). Fall back to the
-    # XLA path for other widths (static shape -> resolved at trace time).
-    if backend == "pallas" and (gray.shape[-1] % 128 != 0 or gray.shape[-1] < 256):
+    # need W % 128 == 0 (and >= 256 for the window size), and its row DMA
+    # block needs H >= patch_size + 8 (the 8-aligned start's slack) or the
+    # copy would read past the image. Fall back to the XLA path otherwise
+    # (static shapes -> resolved at trace time).
+    if backend == "pallas" and (gray.shape[-1] % 128 != 0
+                                or gray.shape[-1] < 256
+                                or gray.shape[-2] < profile.patch_size + 8):
         backend = "xla"
     if backend == "pallas":
         from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas

@@ -135,8 +135,22 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # Equivalence with window_sums_xla requires the radial cutoff disk to fit
+    # inside the clipped p x p patch (cutoff <= p/2): then both backends gate
+    # exactly the same in-image pixel set even for border peaks, where the
+    # XLA patch clamps into the image and this kernel's larger aligned window
+    # covers a superset (the cut gate selects the identical subset). Enforced
+    # here; tests/test_pallas_moments.py checks border peaks explicitly.
+    if profile.radial_cutoff_px > p / 2:
+        raise ValueError(
+            f"radial_cutoff_px ({profile.radial_cutoff_px}) must be <= "
+            f"patch_size/2 ({p / 2}) for backend equivalence")
     half = p // 2
     rows_block = p + 8  # slack so the 8-aligned start still covers the window
+    if h < rows_block:
+        raise ValueError(f"frame height {h} < patch_size + 8 ({rows_block}); "
+                         "the row DMA would read out of bounds — use the XLA "
+                         "backend (detect/detector.py falls back automatically)")
     # Columns: a 128-aligned 256-wide window always contains the cutoff disk
     # (disk x-span <= 2*cutoff + 128-alignment slack < 256 for cutoff <= 63).
     cols_block = 256 if w >= 256 else w
