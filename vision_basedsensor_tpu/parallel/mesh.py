@@ -46,9 +46,21 @@ def make_mesh(devices=None, spatial: int = 1) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
-def shard_frames(frames: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
-    """Place a frame batch with (batch, height) sharded per the mesh axes."""
+def shard_frames(frames: jnp.ndarray, mesh: Mesh,
+                 pad: bool = True) -> jnp.ndarray:
+    """Place a frame batch with (batch, height) sharded per the mesh axes.
+
+    Batches not divisible by the data axis are zero-padded at the tail
+    (``pad=True``): zero frames produce no detections, so ``seen`` is False
+    for them and the displacement scan's carry is untouched — callers just
+    slice outputs back to the true batch length (``out.recon.world[:B]``).
+    """
     spec = _frame_spec(mesh)
+    n = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+    rem = (-frames.shape[0]) % n
+    if rem and pad:
+        frames = jnp.concatenate(
+            [frames, jnp.zeros((rem,) + frames.shape[1:], frames.dtype)])
     return jax.device_put(frames, NamedSharding(mesh, spec))
 
 
@@ -59,22 +71,25 @@ def _frame_spec(mesh: Mesh) -> P:
 
 
 def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
-                          crop: bool = False, apply_warmup: bool = False):
+                          crop: bool = False, apply_warmup: bool = False,
+                          with_carry: bool = False):
     """Build the jitted SPMD pipeline step for the given mesh.
 
     Returns ``step(frames, ref) -> PipelineOutputs`` with the frame batch
     sharded on ``data`` (and image rows on ``spatial`` if present) and the
-    reference marker table replicated.
+    reference marker table replicated. Uneven batches (B not divisible by
+    the data axis) are supported — GSPMD pads the ragged shard internally.
+
+    ``with_carry``: the step becomes ``step(frames, ref, carry) ->
+    (PipelineOutputs, carry)`` carrying the replicated displacement-scan
+    state across chunk boundaries, so a sharded session can checkpoint and
+    resume exactly like the single-device StreamingPipeline (io/session.py
+    stores the same carry dict).
     """
     frame_sharding = NamedSharding(mesh, _frame_spec(mesh))
     replicated = NamedSharding(mesh, P())
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(frame_sharding, replicated),
-        donate_argnums=(0,),
-    )
-    def step(frames: jnp.ndarray, ref: ReferenceMarkers) -> PipelineOutputs:
+    def _body(frames: jnp.ndarray, ref: ReferenceMarkers, carry):
         if crop:
             frames_c = crop_frames(frames, crop_ratios=cfg.crop_ratios)
         else:
@@ -92,10 +107,50 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
         # identical scan; XLA inserts one all-gather of (B, 65, 3+1).
         world = jax.lax.with_sharding_constraint(world, replicated)
         ok = jax.lax.with_sharding_constraint(ok, replicated)
-        recon = displacement_scan(world, ok, cfg.reconstruct)
+        recon, carry_out = displacement_scan(world, ok, cfg.reconstruct,
+                                             carry=carry, return_carry=True)
         from vision_basedsensor_tpu.analysis.force import contact_state_sequence
         contact = contact_state_sequence(recon, cfg.analysis)
-        return PipelineOutputs(detections=det, tracked=tracked, recon=recon,
-                               contact=contact)
+        out = PipelineOutputs(detections=det, tracked=tracked, recon=recon,
+                              contact=contact)
+        return (out, carry_out) if with_carry else out
+
+    if with_carry:
+        @functools.partial(jax.jit,
+                           in_shardings=(frame_sharding, replicated, replicated),
+                           donate_argnums=(0,))
+        def step(frames, ref, carry):
+            return _body(frames, ref, carry)
+    else:
+        @functools.partial(jax.jit,
+                           in_shardings=(frame_sharding, replicated),
+                           donate_argnums=(0,))
+        def step(frames, ref):
+            return _body(frames, ref, None)
 
     return step
+
+
+def collective_ops_in_hlo(step, *example_args) -> list[str]:
+    """Names of cross-device collective ops in the step's compiled HLO.
+
+    Evidence hook for tests: on a data-only mesh the pipeline's ONLY
+    collective should be the all-gather that replicates the (B, 65) scan
+    state (plus any trailing output resharding) — no all-reduces, no
+    all-to-alls, no halo exchanges.
+    """
+    import re
+    text = step.lower(*example_args).compile().as_text()
+    pat = re.compile(r"\b(all-gather(?:-start)?|all-reduce(?:-start)?|"
+                     r"all-to-all|collective-permute(?:-start)?|"
+                     r"reduce-scatter)\b")
+    # Instruction definitions look like "%name = type op-name(...)"; count
+    # each op instance once (skip the -done halves of async pairs).
+    ops = []
+    for line in text.splitlines():
+        if "=" not in line:
+            continue
+        m = pat.search(line.split("=", 1)[1])
+        if m:
+            ops.append(m.group(1))
+    return ops
