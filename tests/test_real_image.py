@@ -50,3 +50,89 @@ def test_real_image_marker_sizes_sane(real_detections):
     # Physical markers are 2 mm; on this frame they image at ~13-30 px.
     assert 8 < np.median(axes[:, 0]) < 40
     assert (axes[:, 1] >= 5).all()  # min-size gate respected
+
+
+VIS = "/root/reference/img/2d_visualization.png"
+DIAM = "/root/reference/img/diameter_shot.png"
+
+
+@pytest.mark.skipif(not os.path.exists(VIS), reason="image not mounted")
+def test_2d_visualization_image_high_res_profile():
+    """Second real frame (the reference's 2D-visualization figure, 621 rows
+    -> the HIGH-RES detector profile): pins expected counts so detector
+    changes get real-world guardrails beyond raw_markers.png (VERDICT
+    round 1, #9). The figure is an ANNOTATED output (red center dots, green
+    id labels drawn in), so clutter detections exist and the outer ring is
+    partially occluded by labels — the inner rings must still resolve
+    completely."""
+    cv2 = pytest.importorskip("cv2")
+    img = cv2.imread(VIS)
+    det = detect_markers(jnp.asarray(img), DetectConfig())
+    v = np.asarray(det.valid)
+    assert 80 <= int(v.sum()) <= 96, int(v.sum())  # 65 markers + label clutter
+    # Real blob sizes under the high-res profile (~56 px median major).
+    axes = np.asarray(det.axes)[v]
+    assert 40 < np.median(axes[:, 0]) < 75
+
+    ref = assign_identities(det, TrackConfig())
+    rv = np.asarray(ref.valid)
+    counts = collections.Counter(np.asarray(ref.ring)[rv].tolist())
+    assert counts[0] == 1 and counts[1] == 6 and counts[2] == 12 \
+        and counts[3] == 18, dict(counts)
+    assert int(rv.sum()) >= 45, int(rv.sum())
+
+
+@pytest.mark.skipif(not os.path.exists(DIAM), reason="image not mounted")
+def test_diameter_shot_c19_end_to_end():
+    """The reference's own diameter-validation photo through the full C19
+    flow: chessboard -> px/mm scale -> per-marker diameters. The published
+    number (2.01 +/- 0.04 mm) was measured on the RAW photo with an
+    interactive threshold; the repo only ships the ANNOTATED result figure
+    (green measurement circles drawn on every marker rim), which biases
+    edges outward — so the guardrails pin OUR measured values on this
+    derivative: scale parity vs cv2's corners, dense coverage, and a
+    mean/std window around 2 mm."""
+    cv2 = pytest.importorskip("cv2")
+    from vision_basedsensor_tpu.analysis.diameter import (
+        chessboard_scale, measure_diameters)
+    from vision_basedsensor_tpu.calibrate.chessboard import find_chessboard
+    from vision_basedsensor_tpu.core.imaging import to_grayscale
+
+    img = cv2.imread(DIAM)
+    gray = np.asarray(to_grayscale(jnp.asarray(img)))
+
+    board = find_chessboard(gray, (6, 6))
+    assert board.found  # dense marker clutter must not defeat the detector
+    scale = chessboard_scale(board.corners, (6, 6), 3.0)
+
+    # Scale parity vs cv2's corner detector on the same photo.
+    ok, cvc = cv2.findChessboardCorners(cv2.cvtColor(img, cv2.COLOR_BGR2GRAY),
+                                        (6, 6))
+    assert ok
+    cvc = cv2.cornerSubPix(
+        cv2.cvtColor(img, cv2.COLOR_BGR2GRAY), cvc, (11, 11), (-1, -1),
+        (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 1e-3))
+    scale_cv = chessboard_scale(
+        np.asarray(board.corners * 0 + _order_like(cvc.reshape(-1, 2),
+                                                   board.corners)),
+        (6, 6), 3.0)
+    assert abs(scale - scale_cv) / scale_cv < 0.01, (scale, scale_cv)
+
+    # ~16 px markers at this scale: patch 24 isolates neighbors in this
+    # dense layout (120 markers in frame).
+    res = measure_diameters(jnp.asarray(gray), scale, max_markers=256,
+                            patch=24)
+    v = np.asarray(res.valid)
+    d = np.asarray(res.diameters_mm)[v]
+    assert int(v.sum()) >= 85, int(v.sum())
+    assert 2.0 < d.mean() < 2.3, d.mean()
+    assert d.std() < 0.12, d.std()
+
+
+def _order_like(pts: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Reorder pts so row i matches the nearest ref row (corner orderings
+    differ between detectors)."""
+    out = np.empty_like(ref)
+    for i, r in enumerate(ref):
+        out[i] = pts[np.linalg.norm(pts - r, axis=1).argmin()]
+    return out

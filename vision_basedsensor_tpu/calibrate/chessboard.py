@@ -202,10 +202,23 @@ def find_chessboard(gray, pattern_size: tuple[int, int],
     score = np.asarray(peaks.score)[valid]
     if xy.shape[0] < n:
         return ChessboardResult(None, False)
-    # Keep all candidates (spurious outline saddles are cropped away by the
-    # lattice-window search in order_grid).
-    refined = np.asarray(refine_subpixel(gray, jnp.asarray(xy, jnp.float32)))
-    ordered = order_grid(refined, pattern_size, scores=score)
-    if ordered is None:
-        return ChessboardResult(None, False)
-    return ChessboardResult(ordered.astype(np.float64), True)
+    # Cluttered scenes (e.g. the reference's diameter-validation photo:
+    # board + 60 markers in frame) swamp the lattice estimate with spurious
+    # saddles. True inner corners respond strongest, so try score-ranked
+    # prefixes first — the exact-n prefix is usually the clean board — and
+    # widen toward the full candidate set (whose outline saddles order_grid's
+    # lattice-window search crops away) only as needed.
+    order = np.argsort(-score)
+    tried = set()
+    for m in (n, n + 8, n + 24, xy.shape[0]):
+        m = min(m, xy.shape[0])
+        if m in tried:
+            continue
+        tried.add(m)
+        sel = order[:m]
+        refined = np.asarray(refine_subpixel(
+            gray, jnp.asarray(xy[sel], jnp.float32)))
+        ordered = order_grid(refined, pattern_size, scores=score[sel])
+        if ordered is not None:
+            return ChessboardResult(ordered.astype(np.float64), True)
+    return ChessboardResult(None, False)
