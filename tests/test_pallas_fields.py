@@ -1,0 +1,125 @@
+"""Fused field kernel (ops/pallas/fields.py) vs the XLA ops (interpret mode).
+
+The kernel must reproduce exactly:
+  * the NCC boundary band (threshold + min_filter),
+  * the opened area mask (morph_open),
+  * find_peaks' candidate set (local max + per-cell max/argmax + top_k +
+    suppression), including plateau tie-breaking (row-major first).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vision_basedsensor_tpu.config import DetectConfig
+from vision_basedsensor_tpu.core.imaging import min_filter, morph_open, to_grayscale
+from vision_basedsensor_tpu.ops.dog import dog_area_mask
+from vision_basedsensor_tpu.ops.ncc import normxcorr_gaussian
+from vision_basedsensor_tpu.ops.pallas.fields import fused_fields
+from vision_basedsensor_tpu.ops.peaks import find_peaks, select_peaks_from_cells
+from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+
+def _xla_reference(ncc, area, cfg, prof):
+    m = (ncc > cfg.ncc_threshold).astype(jnp.float32)
+    band = m * (min_filter(m, prof.band_window) < 0.5)
+    area_open = morph_open(area.astype(jnp.float32), cfg.open_ksize)
+    peaks = find_peaks(ncc, cfg.ncc_threshold, prof.peak_window,
+                       cfg.max_candidates, float(prof.peak_window))
+    return band, area_open, peaks
+
+
+def _fused(ncc, area, cfg, prof):
+    band, area_open, cval, cidx = fused_fields(
+        ncc, area.astype(jnp.float32), cfg.ncc_threshold, cfg.open_ksize,
+        prof, interpret=True)
+    peaks = select_peaks_from_cells(cval, cidx, ncc.shape[-1],
+                                    cfg.max_candidates,
+                                    float(prof.peak_window))
+    return band, area_open, peaks
+
+
+def _assert_equal(ref, fused):
+    band_r, open_r, peaks_r = ref
+    band_f, open_f, peaks_f = fused
+    np.testing.assert_array_equal(np.asarray(band_r), np.asarray(band_f))
+    np.testing.assert_array_equal(np.asarray(open_r), np.asarray(open_f))
+    np.testing.assert_array_equal(np.asarray(peaks_r.valid),
+                                  np.asarray(peaks_f.valid))
+    v = np.asarray(peaks_r.valid)
+    np.testing.assert_array_equal(np.asarray(peaks_r.xy)[v],
+                                  np.asarray(peaks_f.xy)[v])
+    np.testing.assert_array_equal(np.asarray(peaks_r.score)[v],
+                                  np.asarray(peaks_f.score)[v])
+
+
+@pytest.mark.parametrize("hw", [(240, 384), (480, 640)])
+def test_fused_fields_match_xla_rendered(hw):
+    cfg = DetectConfig()
+    prof = cfg.low_res
+    scene = default_scene(*hw)
+    frames = render_frames(scene, jnp.zeros((2, 65, 3), jnp.float32)
+                           .at[1, :, 2].add(-0.6))
+    gray = to_grayscale(frames)
+    area = dog_area_mask(gray, prof, cfg.dog_offset)
+    ncc = normxcorr_gaussian(area.astype(jnp.float32), prof.template_size,
+                             prof.template_sigma, binary_input=True)
+    _assert_equal(_xla_reference(ncc, area, cfg, prof),
+                  _fused(ncc, area, cfg, prof))
+
+
+def test_fused_fields_match_xla_highres_profile():
+    cfg = DetectConfig()
+    prof = cfg.high_res
+    scene = default_scene(544, 768)  # >480 rows picks the high-res constants
+    frames = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))
+    gray = to_grayscale(frames)
+    area = dog_area_mask(gray, prof, cfg.dog_offset)
+    ncc = normxcorr_gaussian(area.astype(jnp.float32), prof.template_size,
+                             prof.template_sigma, binary_input=True)
+    _assert_equal(_xla_reference(ncc, area, cfg, prof),
+                  _fused(ncc, area, cfg, prof))
+
+
+def test_fused_fields_plateau_ties_and_random():
+    """Adversarial field: quantized random scores create exact plateaus —
+    both paths must pick the same (row-major first) representative — plus
+    blobs touching every border."""
+    cfg = DetectConfig()
+    prof = cfg.low_res
+    rng = np.random.default_rng(7)
+    h, w = 240, 384
+    # Heavy quantization -> many exact ties within and across cells.
+    ncc = jnp.asarray(np.round(rng.random((3, h, w)) * 8.0) / 8.0,
+                      jnp.float32)
+    area = jnp.asarray(rng.random((3, h, w)) > 0.6, jnp.float32)
+    _assert_equal(_xla_reference(ncc, area, cfg, prof),
+                  _fused(ncc, area, cfg, prof))
+
+
+def test_fused_fields_rejects_unaligned():
+    cfg = DetectConfig()
+    with pytest.raises(ValueError):
+        fused_fields(jnp.zeros((1, 244, 384)), jnp.zeros((1, 244, 384)),
+                     cfg.ncc_threshold, cfg.open_ksize, cfg.low_res,
+                     interpret=True)
+
+
+def test_detector_uses_fused_path_equivalently():
+    """detect_markers with backend='pallas' (interpret-mode kernels on CPU)
+    must equal backend='xla' end to end."""
+    from dataclasses import replace
+
+    from vision_basedsensor_tpu.detect import detect_markers
+
+    scene = default_scene(240, 384)
+    frames = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))
+    det_x = detect_markers(frames, replace(DetectConfig(), backend="xla"))
+    det_p = detect_markers(frames, replace(DetectConfig(), backend="pallas"))
+    np.testing.assert_array_equal(np.asarray(det_x.valid),
+                                  np.asarray(det_p.valid))
+    v = np.asarray(det_x.valid)
+    np.testing.assert_allclose(np.asarray(det_x.xy)[v],
+                               np.asarray(det_p.xy)[v], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(det_x.axes)[v],
+                               np.asarray(det_p.axes)[v], atol=1e-3)

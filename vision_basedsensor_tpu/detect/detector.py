@@ -34,7 +34,7 @@ from vision_basedsensor_tpu.ops.moments import (
     window_sums_xla,
 )
 from vision_basedsensor_tpu.ops.ncc import normxcorr_gaussian
-from vision_basedsensor_tpu.ops.peaks import find_peaks
+from vision_basedsensor_tpu.ops.peaks import find_peaks, select_peaks_from_cells
 
 
 class Detections(NamedTuple):
@@ -46,12 +46,31 @@ class Detections(NamedTuple):
     valid: jnp.ndarray   # (..., K) bool
 
 
-def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
+def _resolve_backend(cfg: DetectConfig, gray: jnp.ndarray,
+                     profile: DetectProfile) -> str:
+    """Static backend choice. Mosaic requires 128-aligned lane slices: the
+    window-sums kernel's column windows need W % 128 == 0 (and >= 256 for
+    the window size), and its row DMA block needs H >= patch_size + 8 (the
+    8-aligned start's slack) or the copy would read past the image. Fall
+    back to the XLA path otherwise (static shapes -> resolved at trace
+    time)."""
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas" and (gray.shape[-1] % 128 != 0
+                                or gray.shape[-1] < 256
+                                or gray.shape[-2] < profile.patch_size + 8):
+        backend = "xla"
+    return backend
+
+
+def _detect_batched(gray: jnp.ndarray, peaks, band: jnp.ndarray,
                     area_open: jnp.ndarray, cfg: DetectConfig,
-                    profile: DetectProfile,
+                    profile: DetectProfile, backend: str,
                     axis_scale: jnp.ndarray | None = None
                     ) -> tuple[Detections, jnp.ndarray]:
-    """Batched candidate extraction from precomputed fields ``(B, H, W)``.
+    """Batched candidate extraction from precomputed fields ``(B, H, W)``
+    and peak candidates.
 
     Per-candidate isolation: a radial cutoff around each peak plus Voronoi
     halfplane cuts against the 3 nearest other peaks — the reference got
@@ -62,21 +81,7 @@ def _detect_batched(gray: jnp.ndarray, ncc: jnp.ndarray, band: jnp.ndarray,
     All window math reduces to 24 sums per candidate (ops/moments.py),
     produced either by the XLA gather backend or the fused Pallas kernel.
     """
-    peaks = find_peaks(ncc, cfg.ncc_threshold, profile.peak_window,
-                       cfg.max_candidates, float(profile.peak_window))
     geom = jax.vmap(cut_geometry)(peaks)
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    # Mosaic requires 128-aligned lane slices: the kernel's column windows
-    # need W % 128 == 0 (and >= 256 for the window size), and its row DMA
-    # block needs H >= patch_size + 8 (the 8-aligned start's slack) or the
-    # copy would read past the image. Fall back to the XLA path otherwise
-    # (static shapes -> resolved at trace time).
-    if backend == "pallas" and (gray.shape[-1] % 128 != 0
-                                or gray.shape[-1] < 256
-                                or gray.shape[-2] < profile.patch_size + 8):
-        backend = "xla"
     if backend == "pallas":
         from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
         sums = window_sums_pallas(band, area_open, gray, peaks, geom, profile)
@@ -141,14 +146,30 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
     ncc = normxcorr_gaussian(area.astype(jnp.float32), profile.template_size,
                              profile.template_sigma, binary_input=True,
                              compute_dtype=fdt)
-    ncc_mask = (ncc > cfg.ncc_threshold).astype(jnp.float32)
-    # Boundary band of the NCC mask: mask pixels whose band_window
-    # neighborhood touches background (see _detect_batched).
-    band = ncc_mask * (min_filter(ncc_mask, profile.band_window) < 0.5)
-    area_open = morph_open(area.astype(jnp.float32), cfg.open_ksize)
 
-    det, scale = _detect_batched(gray, ncc, band, area_open, cfg, profile,
-                                 axis_scale=axis_scale)
+    backend = _resolve_backend(cfg, gray, profile)
+    h, w = gray.shape[-2:]
+    if backend == "pallas" and h % 8 == 0:
+        # One fused pass over the frame produces the boundary band, the
+        # opened area mask, and the per-cell peak reductions (five XLA
+        # reduce_window round-trips + the peak-tile relayout otherwise).
+        from vision_basedsensor_tpu.ops.pallas.fields import fused_fields
+        band, area_open, cval, cidx = fused_fields(
+            ncc, area.astype(jnp.float32), cfg.ncc_threshold,
+            cfg.open_ksize, profile)
+        peaks = select_peaks_from_cells(cval, cidx, w, cfg.max_candidates,
+                                        float(profile.peak_window))
+    else:
+        ncc_mask = (ncc > cfg.ncc_threshold).astype(jnp.float32)
+        # Boundary band of the NCC mask: mask pixels whose band_window
+        # neighborhood touches background (see _detect_batched).
+        band = ncc_mask * (min_filter(ncc_mask, profile.band_window) < 0.5)
+        area_open = morph_open(area.astype(jnp.float32), cfg.open_ksize)
+        peaks = find_peaks(ncc, cfg.ncc_threshold, profile.peak_window,
+                           cfg.max_candidates, float(profile.peak_window))
+
+    det, scale = _detect_batched(gray, peaks, band, area_open, cfg, profile,
+                                 backend, axis_scale=axis_scale)
     if squeeze:
         det = jax.tree.map(lambda x: x[0], det)
     return det, scale

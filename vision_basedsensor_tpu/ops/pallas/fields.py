@@ -1,0 +1,190 @@
+"""Fused global field kernel: NCC/area masks -> band, opened area, cell peaks.
+
+After the separable MXU filter passes produce the NCC score field and the DoG
+area mask, the detector needs four windowed min/max fields over the full
+frame (``marker_detection.py:166-195`` semantics):
+
+  band      = (ncc > thr) AND NOT eroded(ncc > thr, band_window)
+  area_open = dilate(erode(area, open_ksize), open_ksize)
+  is_peak   = (ncc == local_max(ncc, peak_window)) AND (ncc > thr)
+  cell max/argmax of the masked peak field (feeds top_k candidate selection)
+
+As XLA ops these are five ``lax.reduce_window`` passes plus a
+``(B, HC, WC, cell^2)`` relayout for the per-cell argmax — each a full
+HBM round-trip over the frame (round-1 residual profile: morphology ~35
+us/frame + peaks 35-60 us/frame of the ~160 us total). This kernel computes
+all of them in ONE pass: the frame lives in VMEM, every windowed min/max is
+a log2-depth shift-combine cascade on registers (the same cascade measured
+*slower* as XLA ops — 6194 -> 3640 fps — because there each shift was an HBM
+round-trip; in-kernel there is none), and the per-cell argmax reduces 8-row
+groups via a layout-preserving sublane reshape.
+
+Sliding-window min/max via anchored cascades: ``_run(x, w)`` gives
+``y[i] = op(x[i .. i+w-1])`` in ceil(log2 w)+1 shift-combine steps (windows
+may overlap because min/max are idempotent), then one alignment shift turns
+anchored into centered with ``lax.reduce_window``'s padding convention
+(lo = w//2, hi = (w-1)//2), padding with the reduction identity.
+
+Per-cell argmax matches the XLA path bit-for-bit: lexicographic
+(value desc, flat row-major index asc), so plateau ties resolve identically.
+
+Layout constraints (checked by the wrapper; detector falls back to the XLA
+path otherwise): H multiple of 8 and W multiple of 128 (f32 tile alignment
+for the whole-frame VMEM block and the sublane-group reshape), and the frame
+must fit in VMEM alongside its outputs (H*W <= ~1.3M pixels covers 480p and
+960p frames).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vision_basedsensor_tpu.config import DetectProfile
+
+CELL = 8  # peak-cell size; must divide H and W (implied by the 8/128 gates)
+
+
+def _shift(x: jnp.ndarray, s: int, axis: int, fill: float) -> jnp.ndarray:
+    """``y[i] = x[i + s]`` along ``axis`` (negative s shifts the other way),
+    vacated positions filled with ``fill``. Circular roll + iota mask — both
+    lower cleanly in Mosaic for sublane and lane axes."""
+    if s == 0:
+        return x
+    n = x.shape[axis]
+    y = pltpu.roll(x, -s % n, axis)
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    keep = (pos < n - s) if s > 0 else (pos >= -s)
+    return jnp.where(keep, y, fill)
+
+
+def _run(x: jnp.ndarray, w: int, axis: int, op, fill: float,
+         sign: int = 1) -> jnp.ndarray:
+    """Directed sliding reduce (idempotent op): ``sign=+1`` gives
+    ``y[i] = op(x[i .. i+w-1])``, ``sign=-1`` gives
+    ``y[i] = op(x[i-w+1 .. i])``; out-of-range positions contribute ``fill``
+    (the reduction identity, so borders clip exactly like
+    ``lax.reduce_window``'s identity padding)."""
+    d = 1
+    y = x
+    while 2 * d <= w:
+        y = op(y, _shift(y, sign * d, axis, fill))
+        d *= 2
+    if d < w:  # overlapped tail: idempotency makes double-counting harmless
+        y = op(y, _shift(y, sign * (w - d), axis, fill))
+    return y
+
+
+def _window(x: jnp.ndarray, w: int, op, fill: float) -> jnp.ndarray:
+    """Centered 2D sliding reduce matching ``_reduce_window_2d``: window
+    offsets ``[-(w//2), (w-1)/2]`` on both axes, identity padding. Composed
+    per axis as op(backward run of width lo+1, forward run of width hi+1) —
+    the two runs overlap at the anchor, harmless for idempotent ops, and
+    border windows clip correctly because each directed run fills with the
+    identity."""
+    lo, hi = w // 2, (w - 1) // 2
+    for axis in (0, 1):
+        x = op(_run(x, lo + 1, axis, op, fill, sign=-1),
+               _run(x, hi + 1, axis, op, fill, sign=1))
+    return x
+
+
+def _kernel(ncc_ref, area_ref, band_ref, open_ref, cval_ref, cidx_ref, *,
+            threshold: float, band_window: int, peak_window: int,
+            open_ksize: int, width: int):
+    ncc = ncc_ref[0]
+    area = area_ref[0]
+    h, w = ncc.shape
+
+    # Boundary band of the NCC superlevel mask (detect/detector.py).
+    m = (ncc > threshold).astype(jnp.float32)
+    eroded = _window(m, band_window, jnp.minimum, jnp.inf)
+    band_ref[0] = m * (eroded < 0.5).astype(jnp.float32)
+
+    # Morphological opening of the area mask.
+    er = _window(area, open_ksize, jnp.minimum, jnp.inf)
+    open_ref[0] = _window(er, open_ksize, jnp.maximum, -jnp.inf)
+
+    # Local-maximum peak field, masked to -inf off-peak.
+    lmax = _window(ncc, peak_window, jnp.maximum, -jnp.inf)
+    is_peak = (ncc >= lmax) & (ncc > threshold)
+    sp = jnp.where(is_peak, ncc, -jnp.inf)
+
+    # Per-cell (max, argmax), ties to the smallest row-major flat index —
+    # identical to argmax over the XLA path's flattened (cell*cell) axis.
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * width
+           + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1))
+
+    def lex_max(v_a, i_a, v_b, i_b):
+        take_b = (v_b > v_a) | ((v_b == v_a) & (i_b < i_a))
+        return jnp.where(take_b, v_b, v_a), jnp.where(take_b, i_b, i_a)
+
+    # Rows: reduce each 8-row group via a layout-preserving sublane reshape.
+    v = sp.reshape(h // CELL, CELL, w)
+    i = idx.reshape(h // CELL, CELL, w)
+    rv, ri = v[:, 0], i[:, 0]
+    for f in range(1, CELL):
+        rv, ri = lex_max(rv, ri, v[:, f], i[:, f])
+
+    # Columns: anchored lane cascade of width 8; the wrapper slices [:, ::8].
+    for d in (1, 2, 4):
+        sv = _shift(rv, d, 1, -jnp.inf)
+        si = _shift(ri, d, 1, jnp.iinfo(jnp.int32).max)
+        rv, ri = lex_max(rv, ri, sv, si)
+    cval_ref[0] = rv
+    cidx_ref[0] = ri
+
+
+def fused_fields(ncc: jnp.ndarray, area: jnp.ndarray, threshold: float,
+                 open_ksize: int, profile: DetectProfile,
+                 interpret: bool | None = None):
+    """Fused band/open/peak-cell fields for frames ``(B, H, W)``.
+
+    Returns ``(band, area_open, cell_vals, cell_idx)`` with
+    ``cell_vals/cell_idx`` of shape ``(B, H//8, W//8)`` — the masked peak
+    field's per-cell max and row-major argmax (flat ``y*W + x``), exactly as
+    ``ops.peaks.find_peaks`` computes them before ``top_k``.
+    """
+    b_frames, h, w = ncc.shape
+    if h % CELL or w % 128:
+        raise ValueError(f"fused_fields needs H % 8 == 0 and W % 128 == 0, "
+                         f"got {(h, w)}; use the XLA path")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kern = functools.partial(
+        _kernel, threshold=float(threshold), band_window=profile.band_window,
+        peak_window=profile.peak_window, open_ksize=int(open_ksize), width=w)
+    hc = h // CELL
+    band, opened, cval, cidx = pl.pallas_call(
+        kern,
+        grid=(b_frames,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_frames, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b_frames, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b_frames, hc, w), jnp.float32),
+            jax.ShapeDtypeStruct((b_frames, hc, w), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, w), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, w), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(ncc, area)
+    # Anchored width-8 lane cascade: cells live at columns 0, 8, 16, ...
+    return band, opened, cval[:, :, ::CELL], cidx[:, :, ::CELL]

@@ -37,6 +37,29 @@ def _suppress(xy: jnp.ndarray, score: jnp.ndarray, valid: jnp.ndarray,
     return valid & ~killed
 
 
+def select_peaks_from_cells(cmax: jnp.ndarray, cflat: jnp.ndarray, width: int,
+                            max_peaks: int, min_distance: float) -> Peaks:
+    """Candidate selection from per-cell reductions: ``top_k`` over the cell
+    maxima ``cmax`` ``(..., HC, WC)`` + their row-major flat pixel indices
+    ``cflat`` (``y * width + x``), then distance suppression. Shared tail of
+    :func:`find_peaks`; also consumed by the fused Pallas field kernel
+    (ops/pallas/fields.py), which produces the cell reductions on-chip."""
+    batch = cmax.shape[:-2]
+    n = cmax.shape[-2] * cmax.shape[-1]
+    vals, cidx = jax.lax.top_k(cmax.reshape(batch + (n,)), max_peaks)
+    flat = jnp.take_along_axis(cflat.reshape(batch + (n,)), cidx, axis=-1)
+    ys = (flat // width).astype(jnp.float32)
+    xs = (flat % width).astype(jnp.float32)
+    xy = jnp.stack([xs, ys], axis=-1)
+    valid = jnp.isfinite(vals)
+
+    sup = _suppress
+    for _ in range(cmax.ndim - 2):
+        sup = jax.vmap(sup, in_axes=(0, 0, 0, None))
+    valid = sup(xy, vals, valid, min_distance)
+    return Peaks(xy=xy, score=jnp.where(valid, vals, 0.0), valid=valid)
+
+
 def find_peaks(score: jnp.ndarray, threshold: float, window: int,
                max_peaks: int, min_distance: float, cell: int = 8) -> Peaks:
     """Extract up to ``max_peaks`` local maxima of ``score`` ``(..., H, W)``.
@@ -73,17 +96,9 @@ def find_peaks(score: jnp.ndarray, threshold: float, window: int,
     cmax = jnp.max(tiles, axis=-1)
     coff = jnp.argmax(tiles, axis=-1)
 
-    vals, cidx = jax.lax.top_k(cmax.reshape(batch + (hc * wc,)), max_peaks)
-    off = jnp.take_along_axis(coff.reshape(batch + (hc * wc,)), cidx, axis=-1)
-    cy = cidx // wc
-    cx = cidx % wc
-    ys = (cy * cell + off // cell).astype(jnp.float32)
-    xs = (cx * cell + off % cell).astype(jnp.float32)
-    xy = jnp.stack([xs, ys], axis=-1)
-    valid = jnp.isfinite(vals)
-
-    sup = _suppress
-    for _ in range(score.ndim - 2):
-        sup = jax.vmap(sup, in_axes=(0, 0, 0, None))
-    valid = sup(xy, vals, valid, min_distance)
-    return Peaks(xy=xy, score=jnp.where(valid, vals, 0.0), valid=valid)
+    # Row-major flat pixel index of each cell's winner (width = unpadded w:
+    # padded columns hold -inf and can never win a finite cell).
+    cyg = jax.lax.broadcasted_iota(jnp.int32, cmax.shape, cmax.ndim - 2)
+    cxg = jax.lax.broadcasted_iota(jnp.int32, cmax.shape, cmax.ndim - 1)
+    cflat = ((cyg * cell + coff // cell) * w + (cxg * cell + coff % cell))
+    return select_peaks_from_cells(cmax, cflat, w, max_peaks, min_distance)
