@@ -15,7 +15,7 @@ from vision_basedsensor_tpu.config import DetectConfig
 from vision_basedsensor_tpu.core.imaging import min_filter, morph_open, to_grayscale
 from vision_basedsensor_tpu.ops.dog import dog_area_mask
 from vision_basedsensor_tpu.ops.ncc import normxcorr_gaussian
-from vision_basedsensor_tpu.ops.pallas.fields import fused_fields
+from vision_basedsensor_tpu.ops.pallas.fields import fused_fields, unpack_fields
 from vision_basedsensor_tpu.ops.peaks import find_peaks, select_peaks_from_cells
 from vision_basedsensor_tpu.synth import default_scene, render_frames
 
@@ -29,10 +29,15 @@ def _xla_reference(ncc, area, cfg, prof):
     return band, area_open, peaks
 
 
-def _fused(ncc, area, cfg, prof):
-    band, area_open, cval, cidx = fused_fields(
-        ncc, area.astype(jnp.float32), cfg.ncc_threshold, cfg.open_ksize,
-        prof, interpret=True)
+def _fused(ncc, area, gray, cfg, prof):
+    packed, cval, cidx = fused_fields(
+        ncc, area.astype(jnp.float32), gray, cfg.ncc_threshold,
+        cfg.open_ksize, prof, interpret=True)
+    band, area_open, gray_out = unpack_fields(packed)
+    # The packing must round-trip the gray field exactly enough for the
+    # photometric weights (<= 1e-4 gray levels at magnitude < 1024).
+    np.testing.assert_allclose(np.asarray(gray_out), np.asarray(gray),
+                               atol=1e-3)
     peaks = select_peaks_from_cells(cval, cidx, ncc.shape[-1],
                                     cfg.max_candidates,
                                     float(prof.peak_window))
@@ -65,7 +70,7 @@ def test_fused_fields_match_xla_rendered(hw):
     ncc = normxcorr_gaussian(area.astype(jnp.float32), prof.template_size,
                              prof.template_sigma, binary_input=True)
     _assert_equal(_xla_reference(ncc, area, cfg, prof),
-                  _fused(ncc, area, cfg, prof))
+                  _fused(ncc, area, gray, cfg, prof))
 
 
 def test_fused_fields_match_xla_highres_profile():
@@ -78,7 +83,7 @@ def test_fused_fields_match_xla_highres_profile():
     ncc = normxcorr_gaussian(area.astype(jnp.float32), prof.template_size,
                              prof.template_sigma, binary_input=True)
     _assert_equal(_xla_reference(ncc, area, cfg, prof),
-                  _fused(ncc, area, cfg, prof))
+                  _fused(ncc, area, gray, cfg, prof))
 
 
 def test_fused_fields_plateau_ties_and_random():
@@ -93,16 +98,17 @@ def test_fused_fields_plateau_ties_and_random():
     ncc = jnp.asarray(np.round(rng.random((3, h, w)) * 8.0) / 8.0,
                       jnp.float32)
     area = jnp.asarray(rng.random((3, h, w)) > 0.6, jnp.float32)
+    gray = jnp.asarray(rng.integers(0, 256, (3, h, w)), jnp.float32)
     _assert_equal(_xla_reference(ncc, area, cfg, prof),
-                  _fused(ncc, area, cfg, prof))
+                  _fused(ncc, area, gray, cfg, prof))
 
 
 def test_fused_fields_rejects_unaligned():
     cfg = DetectConfig()
     with pytest.raises(ValueError):
         fused_fields(jnp.zeros((1, 244, 384)), jnp.zeros((1, 244, 384)),
-                     cfg.ncc_threshold, cfg.open_ksize, cfg.low_res,
-                     interpret=True)
+                     jnp.zeros((1, 244, 384)), cfg.ncc_threshold,
+                     cfg.open_ksize, cfg.low_res, interpret=True)
 
 
 def test_detector_uses_fused_path_equivalently():

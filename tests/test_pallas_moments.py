@@ -107,3 +107,21 @@ def test_detect_pallas_backend_end_to_end(fields):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(det_x.axes)[v],
                                np.asarray(det_p.axes)[v], atol=1e-2)
+
+
+def test_packed_sums_match_xla(fields):
+    """Single-DMA packed-field kernel (gray + 256*band + 512*area) vs the
+    XLA gather backend — same tolerance as the 3-field kernel."""
+    from vision_basedsensor_tpu.ops.pallas.moments import window_sums_packed
+
+    cfg, prof, gray, band, area_open, peaks = fields
+    geom = cut_geometry(peaks)
+    packed = gray + 256.0 * band + 512.0 * area_open
+    sx = np.asarray(window_sums_xla(band, area_open, gray, peaks, geom, prof))
+    sp = np.asarray(window_sums_packed(packed, peaks, geom, prof,
+                                       interpret=True))
+    valid = np.asarray(peaks.valid)
+    a, b = sx[valid], sp[valid]
+    fin = np.isfinite(a)
+    np.testing.assert_array_equal(fin, np.isfinite(b))
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-3)

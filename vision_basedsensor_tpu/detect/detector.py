@@ -31,6 +31,7 @@ from vision_basedsensor_tpu.ops.dog import dog_area_mask
 from vision_basedsensor_tpu.ops.moments import (
     cut_geometry,
     finalize,
+    moments_from_patches,
     window_sums_xla,
 )
 from vision_basedsensor_tpu.ops.ncc import normxcorr_gaussian
@@ -64,30 +65,18 @@ def _resolve_backend(cfg: DetectConfig, gray: jnp.ndarray,
     return backend
 
 
-def _detect_batched(gray: jnp.ndarray, peaks, band: jnp.ndarray,
-                    area_open: jnp.ndarray, cfg: DetectConfig,
-                    profile: DetectProfile, backend: str,
-                    axis_scale: jnp.ndarray | None = None
-                    ) -> tuple[Detections, jnp.ndarray]:
-    """Batched candidate extraction from precomputed fields ``(B, H, W)``
-    and peak candidates.
+def _finalize_candidates(sums: jnp.ndarray, peaks, cfg: DetectConfig,
+                         axis_scale: jnp.ndarray | None = None
+                         ) -> tuple[Detections, jnp.ndarray]:
+    """Candidate geometry + validity gates from the 24 per-peak window sums.
 
-    Per-candidate isolation: a radial cutoff around each peak plus Voronoi
-    halfplane cuts against the 3 nearest other peaks — the reference got
-    isolation for free from connected-component labeling and loses it when
-    regions merge (its labeling fuses the cardinal markers with adjacent
-    ring-4 blobs, whose edges come within ~2 px here).
-
-    All window math reduces to 24 sums per candidate (ops/moments.py),
-    produced either by the XLA gather backend or the fused Pallas kernel.
+    Per-candidate isolation (applied upstream in the sums): a radial cutoff
+    around each peak plus Voronoi halfplane cuts against the 3 nearest other
+    peaks — the reference got isolation for free from connected-component
+    labeling and loses it when regions merge (its labeling fuses the
+    cardinal markers with adjacent ring-4 blobs, whose edges come within
+    ~2 px here).
     """
-    geom = jax.vmap(cut_geometry)(peaks)
-    if backend == "pallas":
-        from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
-        sums = window_sums_pallas(band, area_open, gray, peaks, geom, profile)
-    else:
-        sums = jax.vmap(lambda b, a, g, p, gm: window_sums_xla(b, a, g, p, gm, profile)
-                        )(band, area_open, gray, peaks, geom)
     fin = finalize(sums, peaks.xy, peaks.valid, axis_scale=axis_scale)
 
     # Reference-parity center: centroid of the boundary band of the NCC
@@ -149,27 +138,47 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
 
     backend = _resolve_backend(cfg, gray, profile)
     h, w = gray.shape[-2:]
-    if backend == "pallas" and h % 8 == 0:
-        # One fused pass over the frame produces the boundary band, the
-        # opened area mask, and the per-cell peak reductions (five XLA
-        # reduce_window round-trips + the peak-tile relayout otherwise).
+    if backend == "pallas" and h % 8 == 0 and h * w <= 960 * 1280:
+        # One fused pass over the frame produces the packed per-pixel field
+        # (gray + band + opened area) and the per-cell peak reductions (five
+        # XLA reduce_window round-trips + the peak-tile relayout otherwise);
+        # the per-peak stage then needs a single window DMA per candidate.
         from vision_basedsensor_tpu.ops.pallas.fields import fused_fields
-        band, area_open, cval, cidx = fused_fields(
-            ncc, area.astype(jnp.float32), cfg.ncc_threshold,
+        from vision_basedsensor_tpu.ops.pallas.moments import gather_windows
+        packed, cval, cidx = fused_fields(
+            ncc, area.astype(jnp.float32), gray, cfg.ncc_threshold,
             cfg.open_ksize, profile)
         peaks = select_peaks_from_cells(cval, cidx, w, cfg.max_candidates,
                                         float(profile.peak_window))
+        geom = jax.vmap(cut_geometry)(peaks)
+        # Gather-only kernel + fused batched XLA reductions: the per-peak
+        # in-kernel accumulate loop (window_sums_packed / window_sums_pallas,
+        # kept for unaligned-height frames below) is vector-issue-bound at
+        # ~68 us/frame; this pair measured ~39 us/frame (e2e 136 -> 107 us,
+        # B=256, single chip).
+        patches, pstart = gather_windows(packed, peaks, geom, profile)
+        sums = moments_from_patches(patches, pstart, peaks, geom, profile)
     else:
         ncc_mask = (ncc > cfg.ncc_threshold).astype(jnp.float32)
         # Boundary band of the NCC mask: mask pixels whose band_window
-        # neighborhood touches background (see _detect_batched).
+        # neighborhood touches background (see _finalize_candidates).
         band = ncc_mask * (min_filter(ncc_mask, profile.band_window) < 0.5)
         area_open = morph_open(area.astype(jnp.float32), cfg.open_ksize)
         peaks = find_peaks(ncc, cfg.ncc_threshold, profile.peak_window,
                            cfg.max_candidates, float(profile.peak_window))
+        geom = jax.vmap(cut_geometry)(peaks)
+        if backend == "pallas":
+            # Aligned width but H % 8 != 0: the 3-field window-sums kernel
+            # still applies (it only needs H >= patch + 8).
+            from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
+            sums = window_sums_pallas(band, area_open, gray, peaks, geom,
+                                      profile)
+        else:
+            sums = jax.vmap(lambda b, a, g, p, gm: window_sums_xla(
+                b, a, g, p, gm, profile))(band, area_open, gray, peaks, geom)
 
-    det, scale = _detect_batched(gray, peaks, band, area_open, cfg, profile,
-                                 backend, axis_scale=axis_scale)
+    det, scale = _finalize_candidates(sums, peaks, cfg,
+                                      axis_scale=axis_scale)
     if squeeze:
         det = jax.tree.map(lambda x: x[0], det)
     return det, scale

@@ -113,6 +113,65 @@ def window_sums_xla(band: jnp.ndarray, area: jnp.ndarray, gray: jnp.ndarray,
     ], axis=-1)
 
 
+def unpack_packed_field(packed: jnp.ndarray):
+    """Inverse of the fused field kernel's packing
+    ``gray + 256*band + 512*area_open`` (exact: masks are 0/1, gray in
+    [0, 256)). Returns ``(band, area, gray)``."""
+    area = jnp.floor(packed * (1.0 / 512.0))
+    r = packed - 512.0 * area
+    band = jnp.floor(r * (1.0 / 256.0))
+    return band, area, r - 256.0 * band
+
+
+def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
+                         peaks: Peaks, geom: CutGeometry,
+                         profile: DetectProfile) -> jnp.ndarray:
+    """Batched moment sums from pre-gathered packed-field windows.
+
+    ``patches`` ``(..., K, R, C)`` are aligned windows of the packed field
+    (ops/pallas/moments.py:gather_windows) with origins ``start``
+    ``(..., K, 2)``. All B*K windows reduce in one fused XLA pass — on TPU
+    this is HBM-bound (~2 passes over the patch tensor) where the in-kernel
+    per-peak accumulate loop was vector-issue-bound (measured 68 us/frame ->
+    see gather kernel docstring). Output layout identical to
+    :func:`window_sums_xla`.
+    """
+    r_, c_ = patches.shape[-2:]
+    f = jnp.float32
+    dx = (start[..., 0, None].astype(f) - peaks.xy[..., 0, None]
+          + jnp.arange(c_, dtype=f))[..., None, :]           # (..., K, 1, C)
+    dy = (start[..., 1, None].astype(f) - peaks.xy[..., 1, None]
+          + jnp.arange(r_, dtype=f))[..., :, None]           # (..., K, R, 1)
+
+    keep = (dx * dx + dy * dy) <= profile.radial_cutoff_px ** 2
+    rhs = jnp.minimum(geom.rhs, 3e38)
+    for j in range(3):
+        keep = keep & ((dx * geom.ex[..., j, None, None]
+                        + dy * geom.ey[..., j, None, None])
+                       <= rhs[..., j, None, None] + 1e-3)
+    cut = keep.astype(f)
+
+    band, area, gray = unpack_packed_field(patches)
+    b = band * cut
+    a = area * cut
+    red = lambda v: jnp.sum(v, axis=(-2, -1))
+    lo = jnp.min(jnp.where(keep, gray, jnp.inf), axis=(-2, -1))
+    hi = jnp.max(jnp.where(keep, gray, -jnp.inf), axis=(-2, -1))
+    contrast = jnp.maximum(hi - lo, 1e-3)
+    w = jnp.clip((hi[..., None, None] - gray) / contrast[..., None, None],
+                 0.0, 1.0) * cut
+    wh = (w >= 0.5).astype(f)
+
+    def m(v):
+        return [red(v), red(v * dx), red(v * dy)]
+
+    def m2(v):
+        return [red(v * dx * dx), red(v * dy * dy), red(v * dx * dy)]
+
+    return jnp.stack(m(b) + m(a) + m2(a) + m(w) + m2(w) + m(wh) + m2(wh)
+                     + [lo, hi, red(cut)], axis=-1)
+
+
 class Finalized(NamedTuple):
     band_center: jnp.ndarray   # (K, 2)
     photo_center: jnp.ndarray  # (K, 2)

@@ -92,7 +92,7 @@ def _window(x: jnp.ndarray, w: int, op, fill: float) -> jnp.ndarray:
     return x
 
 
-def _kernel(ncc_ref, area_ref, band_ref, open_ref, cval_ref, cidx_ref, *,
+def _kernel(ncc_ref, area_ref, gray_ref, packed_ref, cval_ref, cidx_ref, *,
             threshold: float, band_window: int, peak_window: int,
             open_ksize: int, width: int):
     ncc = ncc_ref[0]
@@ -102,11 +102,17 @@ def _kernel(ncc_ref, area_ref, band_ref, open_ref, cval_ref, cidx_ref, *,
     # Boundary band of the NCC superlevel mask (detect/detector.py).
     m = (ncc > threshold).astype(jnp.float32)
     eroded = _window(m, band_window, jnp.minimum, jnp.inf)
-    band_ref[0] = m * (eroded < 0.5).astype(jnp.float32)
+    band = m * (eroded < 0.5).astype(jnp.float32)
 
     # Morphological opening of the area mask.
     er = _window(area, open_ksize, jnp.minimum, jnp.inf)
-    open_ref[0] = _window(er, open_ksize, jnp.maximum, -jnp.inf)
+    opened = _window(er, open_ksize, jnp.maximum, -jnp.inf)
+
+    # Pack the three per-pixel fields the window-sums stage needs into one
+    # array (exact: gray in [0, 256), band/opened in {0, 1}) so the per-peak
+    # stage issues ONE window DMA instead of three
+    # (ops/pallas/moments.py:window_sums_packed).
+    packed_ref[0] = gray_ref[0] + 256.0 * band + 512.0 * opened
 
     # Local-maximum peak field, masked to -inf off-peak.
     lmax = _window(ncc, peak_window, jnp.maximum, -jnp.inf)
@@ -138,13 +144,22 @@ def _kernel(ncc_ref, area_ref, band_ref, open_ref, cval_ref, cidx_ref, *,
     cidx_ref[0] = ri
 
 
-def fused_fields(ncc: jnp.ndarray, area: jnp.ndarray, threshold: float,
-                 open_ksize: int, profile: DetectProfile,
+def unpack_fields(packed: jnp.ndarray):
+    """Inverse of the kernel's field packing: ``(band, area_open, gray)``."""
+    opened = jnp.floor(packed * (1.0 / 512.0))
+    r = packed - 512.0 * opened
+    band = jnp.floor(r * (1.0 / 256.0))
+    return band, opened, r - 256.0 * band
+
+
+def fused_fields(ncc: jnp.ndarray, area: jnp.ndarray, gray: jnp.ndarray,
+                 threshold: float, open_ksize: int, profile: DetectProfile,
                  interpret: bool | None = None):
     """Fused band/open/peak-cell fields for frames ``(B, H, W)``.
 
-    Returns ``(band, area_open, cell_vals, cell_idx)`` with
-    ``cell_vals/cell_idx`` of shape ``(B, H//8, W//8)`` — the masked peak
+    Returns ``(packed, cell_vals, cell_idx)``: ``packed`` is
+    ``gray + 256*band + 512*area_open`` (see :func:`unpack_fields`), and
+    ``cell_vals/cell_idx`` of shape ``(B, H//8, W//8)`` are the masked peak
     field's per-cell max and row-major argmax (flat ``y*W + x``), exactly as
     ``ops.peaks.find_peaks`` computes them before ``top_k``.
     """
@@ -152,6 +167,9 @@ def fused_fields(ncc: jnp.ndarray, area: jnp.ndarray, threshold: float,
     if h % CELL or w % 128:
         raise ValueError(f"fused_fields needs H % 8 == 0 and W % 128 == 0, "
                          f"got {(h, w)}; use the XLA path")
+    if h * w > 960 * 1280:
+        raise ValueError(f"frame {(h, w)} too large for the whole-frame VMEM "
+                         "kernel (> 960x1280); use the XLA path")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -159,32 +177,26 @@ def fused_fields(ncc: jnp.ndarray, area: jnp.ndarray, threshold: float,
         _kernel, threshold=float(threshold), band_window=profile.band_window,
         peak_window=profile.peak_window, open_ksize=int(open_ksize), width=w)
     hc = h // CELL
-    band, opened, cval, cidx = pl.pallas_call(
+    frame_spec = pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cell_spec = pl.BlockSpec((1, hc, w), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    packed, cval, cidx = pl.pallas_call(
         kern,
         grid=(b_frames,),
         out_shape=(
             jax.ShapeDtypeStruct((b_frames, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b_frames, h, w), jnp.float32),
             jax.ShapeDtypeStruct((b_frames, hc, w), jnp.float32),
             jax.ShapeDtypeStruct((b_frames, hc, w), jnp.int32),
         ),
-        in_specs=[
-            pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc, w), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc, w), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=[frame_spec, frame_spec, frame_spec],
+        out_specs=(frame_spec, cell_spec, cell_spec),
+        # 3 whole-frame inputs + 1 whole-frame output (double-buffered by the
+        # grid pipeline) plus the cascade temporaries exceed the default 16 MB
+        # scoped-vmem budget; v5e has 128 MB. 480p uses ~21 MB, 960p ~85 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(ncc, area)
+    )(ncc, area, gray)
     # Anchored width-8 lane cascade: cells live at columns 0, 8, 16, ...
-    return band, opened, cval[:, :, ::CELL], cidx[:, :, ::CELL]
+    return packed, cval[:, :, ::CELL], cidx[:, :, ::CELL]

@@ -28,6 +28,51 @@ from vision_basedsensor_tpu.ops.moments import NUM_SUMS, CutGeometry
 from vision_basedsensor_tpu.ops.peaks import Peaks
 
 
+def _accumulate(band, area, gray, start_ref, peak_ref, geom_ref, out_ref, k,
+                rows_block: int, cols_block: int, cutoff: float):
+    """Reduce one peak's (rows_block, cols_block) window of the three fields
+    into the 24 moment sums (ops/moments.py layout) at ``out_ref[0, k]``."""
+    x0 = start_ref[0, k, 0]
+    y0 = start_ref[0, k, 1]
+    px = peak_ref[0, k, 0]
+    py = peak_ref[0, k, 1]
+
+    # Mosaic iota must be integer-typed; cast after.
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows_block, cols_block), 1).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows_block, cols_block), 0).astype(jnp.float32)
+    dx = col + (x0.astype(jnp.float32) - px)
+    dy = row + (y0.astype(jnp.float32) - py)
+
+    keep = (dx * dx + dy * dy) <= cutoff * cutoff
+    for j in range(3):
+        ex = geom_ref[0, k, 3 * j + 0]
+        ey = geom_ref[0, k, 3 * j + 1]
+        rhs = geom_ref[0, k, 3 * j + 2]
+        keep = keep & ((dx * ex + dy * ey) <= rhs + 1e-3)
+    cut = keep.astype(jnp.float32)
+
+    b = band * cut
+    a = area * cut
+    g_in = jnp.where(keep, gray, jnp.inf)
+    lo = jnp.min(g_in)
+    hi = jnp.max(jnp.where(keep, gray, -jnp.inf))
+    w = jnp.clip((hi - gray) / jnp.maximum(hi - lo, 1e-3), 0.0, 1.0) * cut
+
+    wh = (w >= 0.5).astype(jnp.float32)
+    vals = jnp.stack([
+        jnp.sum(b), jnp.sum(b * dx), jnp.sum(b * dy),
+        jnp.sum(a), jnp.sum(a * dx), jnp.sum(a * dy),
+        jnp.sum(a * dx * dx), jnp.sum(a * dy * dy), jnp.sum(a * dx * dy),
+        jnp.sum(w), jnp.sum(w * dx), jnp.sum(w * dy),
+        jnp.sum(w * dx * dx), jnp.sum(w * dy * dy), jnp.sum(w * dx * dy),
+        jnp.sum(wh), jnp.sum(wh * dx), jnp.sum(wh * dy),
+        jnp.sum(wh * dx * dx), jnp.sum(wh * dy * dy), jnp.sum(wh * dx * dy),
+        lo, hi, jnp.sum(cut),
+    ])
+    for i in range(vals.shape[0]):
+        out_ref[0, k, i] = vals[i]
+
+
 def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
             out_ref, rows, sems, *, rows_block: int, cols_block: int,
             cutoff: float):
@@ -62,79 +107,67 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
             start_dma(jax.lax.rem(k + 1, 2), k + 1)
 
         wait_dma(slot, k)
-
-        x0 = start_ref[0, k, 0]
-        y0 = start_ref[0, k, 1]
-        px = peak_ref[0, k, 0]
-        py = peak_ref[0, k, 1]
-
-        # Aligned (rows_block, cols_block) window: the radial-cutoff gate
-        # selects the active pixels inside it.
-        band = rows[slot, 0]
-        area = rows[slot, 1]
-        gray = rows[slot, 2]
-
-        # Mosaic iota must be integer-typed; cast after.
-        col = jax.lax.broadcasted_iota(jnp.int32, (rows_block, cols_block), 1).astype(jnp.float32)
-        row = jax.lax.broadcasted_iota(jnp.int32, (rows_block, cols_block), 0).astype(jnp.float32)
-        dx = col + (x0.astype(jnp.float32) - px)
-        dy = row + (y0.astype(jnp.float32) - py)
-
-        keep = (dx * dx + dy * dy) <= cutoff * cutoff
-        for j in range(3):
-            ex = geom_ref[0, k, 3 * j + 0]
-            ey = geom_ref[0, k, 3 * j + 1]
-            rhs = geom_ref[0, k, 3 * j + 2]
-            keep = keep & ((dx * ex + dy * ey) <= rhs + 1e-3)
-        cut = keep.astype(jnp.float32)
-
-        b = band * cut
-        a = area * cut
-        g_in = jnp.where(keep, gray, jnp.inf)
-        lo = jnp.min(g_in)
-        hi = jnp.max(jnp.where(keep, gray, -jnp.inf))
-        w = jnp.clip((hi - gray) / jnp.maximum(hi - lo, 1e-3), 0.0, 1.0) * cut
-
-        wh = (w >= 0.5).astype(jnp.float32)
-        vals = jnp.stack([
-            jnp.sum(b), jnp.sum(b * dx), jnp.sum(b * dy),
-            jnp.sum(a), jnp.sum(a * dx), jnp.sum(a * dy),
-            jnp.sum(a * dx * dx), jnp.sum(a * dy * dy), jnp.sum(a * dx * dy),
-            jnp.sum(w), jnp.sum(w * dx), jnp.sum(w * dy),
-            jnp.sum(w * dx * dx), jnp.sum(w * dy * dy), jnp.sum(w * dx * dy),
-            jnp.sum(wh), jnp.sum(wh * dx), jnp.sum(wh * dy),
-            jnp.sum(wh * dx * dx), jnp.sum(wh * dy * dy), jnp.sum(wh * dx * dy),
-            lo, hi, jnp.sum(cut),
-        ])
-        for i in range(vals.shape[0]):
-            out_ref[0, k, i] = vals[i]
+        _accumulate(rows[slot, 0], rows[slot, 1], rows[slot, 2],
+                    start_ref, peak_ref, geom_ref, out_ref, k,
+                    rows_block, cols_block, cutoff)
         return ()
 
     jax.lax.fori_loop(0, k_total, body, ())
 
 
-def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
-                       gray: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
-                       profile: DetectProfile,
-                       interpret: bool | None = None) -> jnp.ndarray:
-    """Drop-in replacement for a batch of ``window_sums_xla`` calls.
+def _packed_kernel(start_ref, peak_ref, geom_ref, packed_hbm, out_ref, rows,
+                   sems, *, rows_block: int, cols_block: int, cutoff: float,
+                   n_slots: int):
+    """Single-DMA variant: the three fields arrive packed as
+    ``gray + 256*band + 512*area`` (ops/pallas/fields.py) — one window copy
+    per peak instead of three, and an ``n_slots``-deep prefetch ring to hide
+    the per-DMA issue latency the 3-field kernel pays 3x per peak."""
+    frame = pl.program_id(0)
+    k_total = out_ref.shape[1]
 
-    Inputs carry a leading frame axis (``(B, H, W)`` images, ``(B, K, ...)``
-    peak data); the frame axis is the kernel grid (TPU Pallas requires
-    ANY-space operands un-blocked, so batching must be a grid dim, not vmap).
-    Single-frame inputs are auto-expanded.
-    """
-    squeeze = gray.ndim == 2
-    if squeeze:
-        band, area, gray = band[None], area[None], gray[None]
-        peaks = jax.tree.map(lambda v: v[None], peaks)
-        geom = jax.tree.map(lambda v: v[None], geom)
-    b_frames, h, w = gray.shape
+    def _dma(slot, k):
+        y0 = pl.multiple_of(start_ref[0, k, 1], 8)
+        x0 = pl.multiple_of(start_ref[0, k, 0], 128)
+        return pltpu.make_async_copy(
+            packed_hbm.at[frame, pl.ds(y0, rows_block), pl.ds(x0, cols_block)],
+            rows.at[slot],
+            sems.at[slot],
+        )
+
+    for p in range(n_slots - 1):
+        @pl.when(p < k_total)
+        def _(p=p):
+            _dma(p, p).start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, n_slots)
+
+        @pl.when(k + n_slots - 1 < k_total)
+        def _():
+            _dma(jax.lax.rem(k + n_slots - 1, n_slots), k + n_slots - 1).start()
+
+        _dma(slot, k).wait()
+
+        v = rows[slot]
+        # Exact unpack: area/band are 0/1, gray in [0, 256) (integer-quantized
+        # or fractional after undistortion; v < 1024 keeps gray's low bits
+        # well inside f32's 24-bit mantissa).
+        area = jnp.floor(v * (1.0 / 512.0))
+        r = v - 512.0 * area
+        band = jnp.floor(r * (1.0 / 256.0))
+        gray = r - 256.0 * band
+        _accumulate(band, area, gray, start_ref, peak_ref, geom_ref, out_ref,
+                    k, rows_block, cols_block, cutoff)
+        return ()
+
+    jax.lax.fori_loop(0, k_total, body, ())
+
+
+def _prep(h: int, w: int, peaks: Peaks, geom: CutGeometry,
+          profile: DetectProfile):
+    """Shared window/geometry staging for both window-sums kernels: aligned
+    DMA start offsets + packed halfplane parameters."""
     p = profile.patch_size
-    k = peaks.xy.shape[-2]
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
     # Equivalence with window_sums_xla requires the radial cutoff disk to fit
     # inside the clipped p x p patch (cutoff <= p/2): then both backends gate
     # exactly the same in-image pixel set even for border peaks, where the
@@ -166,6 +199,168 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
          geom.ex[..., 1], geom.ey[..., 1], rhs[..., 1],
          geom.ex[..., 2], geom.ey[..., 2], rhs[..., 2]],
         axis=-1).astype(jnp.float32)                           # (B, K, 9)
+    return start, geom_packed, rows_block, cols_block
+
+
+def window_sums_packed(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
+                       profile: DetectProfile,
+                       interpret: bool | None = None,
+                       n_slots: int = 4) -> jnp.ndarray:
+    """Like :func:`window_sums_pallas` but reading the single packed field
+    ``gray + 256*band + 512*area_open`` produced by the fused field kernel
+    (ops/pallas/fields.py) — one DMA per peak instead of three, with an
+    ``n_slots``-deep prefetch ring."""
+    squeeze = packed.ndim == 2
+    if squeeze:
+        packed = packed[None]
+        peaks = jax.tree.map(lambda v: v[None], peaks)
+        geom = jax.tree.map(lambda v: v[None], geom)
+    b_frames, h, w = packed.shape
+    k = peaks.xy.shape[-2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    start, geom_packed, rows_block, cols_block = _prep(h, w, peaks, geom,
+                                                       profile)
+
+    kern = functools.partial(_packed_kernel, rows_block=rows_block,
+                             cols_block=cols_block,
+                             cutoff=float(profile.radial_cutoff_px),
+                             n_slots=n_slots)
+    out = pl.pallas_call(
+        kern,
+        grid=(b_frames,),
+        out_shape=jax.ShapeDtypeStruct((b_frames, k, NUM_SUMS), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, k, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # start
+            pl.BlockSpec((1, k, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # peak xy
+            pl.BlockSpec((1, k, 9), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # geom
+            pl.BlockSpec(memory_space=pl.ANY),       # packed (B, H, W)
+        ],
+        out_specs=pl.BlockSpec((1, k, NUM_SUMS), lambda b: (b, 0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, rows_block, cols_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+        ],
+        interpret=interpret,
+    )(start, peaks.xy.astype(jnp.float32), geom_packed, packed)
+    return out[0] if squeeze else out
+
+
+def _gather_kernel(start_ref, packed_hbm, out_ref, sems, *, rows_block: int,
+                   cols_block: int, n_sems: int):
+    """Copy every peak's aligned window into the output block — no compute.
+
+    The moment math happens in batched XLA afterwards
+    (ops/moments.py:moments_from_patches): measured on TPU, the in-kernel
+    per-peak accumulate loop is vector-issue-bound at ~68 us/frame (the
+    (rows, 256) window is 7x the cutoff disk's bounding box and every peak
+    pays ~30 vector ops over it serially), while gather + fused XLA
+    reductions over all B*K windows at once is HBM-bound at ~2 full passes.
+    """
+    frame = pl.program_id(0)
+    k_total = out_ref.shape[1]
+
+    def _dma(k):
+        y0 = pl.multiple_of(start_ref[0, k, 1], 8)
+        x0 = pl.multiple_of(start_ref[0, k, 0], 128)
+        return pltpu.make_async_copy(
+            packed_hbm.at[frame, pl.ds(y0, rows_block), pl.ds(x0, cols_block)],
+            out_ref.at[0, k],
+            sems.at[jax.lax.rem(k, n_sems)],
+        )
+
+    # Keep n_sems DMAs in flight: wait for slot k-n_sems before reusing its
+    # semaphore.
+    def body(k, _):
+        @pl.when(k >= n_sems)
+        def _():
+            _dma(k - n_sems).wait()
+        _dma(k).start()
+        return ()
+
+    jax.lax.fori_loop(0, k_total, body, ())
+
+    def drain(k, _):
+        _dma(k).wait()
+        return ()
+
+    jax.lax.fori_loop(jnp.maximum(k_total - n_sems, 0), k_total, drain, ())
+
+
+def gather_windows(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
+                   profile: DetectProfile, interpret: bool | None = None,
+                   n_sems: int = 8):
+    """Gather each peak's aligned packed-field window into a dense
+    ``(B, K, rows_block, cols_block)`` tensor (one DMA per peak; all DMA, no
+    compute). Returns ``(patches, start)`` with ``start`` ``(B, K, 2)`` the
+    aligned (x0, y0) window origins for absolute-coordinate reconstruction.
+    """
+    squeeze = packed.ndim == 2
+    if squeeze:
+        packed = packed[None]
+        peaks = jax.tree.map(lambda v: v[None], peaks)
+        geom = jax.tree.map(lambda v: v[None], geom)
+    b_frames, h, w = packed.shape
+    k = peaks.xy.shape[-2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    start, _, rows_block, cols_block = _prep(h, w, peaks, geom, profile)
+
+    kern = functools.partial(_gather_kernel, rows_block=rows_block,
+                             cols_block=cols_block, n_sems=n_sems)
+    out = pl.pallas_call(
+        kern,
+        grid=(b_frames,),
+        out_shape=jax.ShapeDtypeStruct((b_frames, k, rows_block, cols_block),
+                                       jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, k, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # start
+            pl.BlockSpec(memory_space=pl.ANY),       # packed (B, H, W)
+        ],
+        out_specs=pl.BlockSpec((1, k, rows_block, cols_block),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_sems,))],
+        # The whole (K, rows, cols) output block lives in VMEM, double
+        # buffered by the grid pipeline; the default 16 MB scoped budget is
+        # too small for K=96 windows.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * k * rows_block * cols_block * 4
+            + 8 * 1024 * 1024),
+        interpret=interpret,
+    )(start, packed)
+    if squeeze:
+        return out[0], start[0]
+    return out, start
+
+
+def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
+                       gray: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
+                       profile: DetectProfile,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """Drop-in replacement for a batch of ``window_sums_xla`` calls.
+
+    Inputs carry a leading frame axis (``(B, H, W)`` images, ``(B, K, ...)``
+    peak data); the frame axis is the kernel grid (TPU Pallas requires
+    ANY-space operands un-blocked, so batching must be a grid dim, not vmap).
+    Single-frame inputs are auto-expanded.
+    """
+    squeeze = gray.ndim == 2
+    if squeeze:
+        band, area, gray = band[None], area[None], gray[None]
+        peaks = jax.tree.map(lambda v: v[None], peaks)
+        geom = jax.tree.map(lambda v: v[None], geom)
+    b_frames, h, w = gray.shape
+    k = peaks.xy.shape[-2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    start, geom_packed, rows_block, cols_block = _prep(h, w, peaks, geom,
+                                                       profile)
 
     kern = functools.partial(_kernel, rows_block=rows_block,
                              cols_block=cols_block,
