@@ -1,0 +1,113 @@
+"""Cumulative-ablation profile of the detect hot path on real TPU.
+
+Per-stage timers are untrustworthy through the axon relay (see
+.claude/skills/verify/SKILL.md); stage costs are attributed by timing
+successively longer prefixes of the pipeline inside one jit each, on
+distinct pre-staged input batches (identical executions can be deduped by
+the relay, so each iteration gets its own buffer).
+
+Usage: python benchmarks/ablate_detect.py [batch] [iters] [n_buffers]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(batch: int = 256, iters: int = 8, n_buf: int = 4):
+    from vision_basedsensor_tpu.config import PipelineConfig
+    from vision_basedsensor_tpu.detect.detector import detect_markers_and_scale
+    from vision_basedsensor_tpu.ops.dog import dog_area_mask
+    from vision_basedsensor_tpu.ops.moments import (cut_geometry,
+                                                    moments_from_patches)
+    from vision_basedsensor_tpu.ops.ncc import normxcorr_gaussian
+    from vision_basedsensor_tpu.ops.pallas.fields import fused_fields
+    from vision_basedsensor_tpu.ops.pallas.moments import gather_windows
+    from vision_basedsensor_tpu.ops.peaks import select_peaks_from_cells
+    from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+    cfg = PipelineConfig().detect
+    prof = cfg.low_res
+    scene = default_scene(height=480, width=640)
+    d = jnp.zeros((batch, 65, 3), jnp.float32)
+    d = d.at[:, :, 2].add(-0.002 * jnp.arange(batch)[:, None])
+    base = render_frames(scene, d)
+    key = jax.random.PRNGKey(0)
+    bufs = [jax.block_until_ready(
+        jnp.clip(base + jax.random.normal(jax.random.fold_in(key, i),
+                                          base.shape) * 0.5, 0, 255))
+            for i in range(n_buf)]
+
+    w = 640
+
+    def filters(gray):
+        area = dog_area_mask(gray, prof, cfg.dog_offset)
+        ncc = normxcorr_gaussian(area.astype(jnp.float32), prof.template_size,
+                                 prof.template_sigma, binary_input=True)
+        return area, ncc
+
+    def s1(gray):
+        area, ncc = filters(gray)
+        return ncc.sum() + area.sum()
+
+    def s2(gray):
+        area, ncc = filters(gray)
+        packed, cval, cidx = fused_fields(ncc, area.astype(jnp.float32), gray,
+                                          cfg.ncc_threshold, cfg.open_ksize,
+                                          prof)
+        return packed.sum() + cval.sum() + cidx.sum()
+
+    def _to_peaks(gray):
+        area, ncc = filters(gray)
+        packed, cval, cidx = fused_fields(ncc, area.astype(jnp.float32), gray,
+                                          cfg.ncc_threshold, cfg.open_ksize,
+                                          prof)
+        peaks = select_peaks_from_cells(cval, cidx, w, cfg.max_candidates,
+                                        float(prof.peak_window))
+        return packed, peaks
+
+    def s3(gray):
+        packed, peaks = _to_peaks(gray)
+        return packed[0, 0, 0] + peaks.xy.sum() + peaks.score.sum()
+
+    def s4(gray):
+        packed, peaks = _to_peaks(gray)
+        geom = jax.vmap(cut_geometry)(peaks)
+        patches, pstart = gather_windows(packed, peaks, geom, prof)
+        return patches.sum() + pstart.sum()
+
+    def s5(gray):
+        packed, peaks = _to_peaks(gray)
+        geom = jax.vmap(cut_geometry)(peaks)
+        patches, pstart = gather_windows(packed, peaks, geom, prof)
+        sums = moments_from_patches(patches, pstart, peaks, geom, prof)
+        return sums.sum()
+
+    def s6(gray):
+        det, scale = detect_markers_and_scale(gray, cfg)
+        return det.xy.sum() + det.score.sum() + scale
+
+    stages = [("filters(DoG+NCC)", s1), ("+fused_fields", s2),
+              ("+select_peaks(top_k)", s3), ("+cut_geom+gather", s4),
+              ("+moments_from_patches", s5), ("full detect", s6)]
+
+    prev = 0.0
+    for name, fn in stages:
+        f = jax.jit(fn)
+        jax.block_until_ready(f(bufs[0]))
+        for b in bufs[1:]:
+            jax.block_until_ready(f(b))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = jax.block_until_ready(f(bufs[i % n_buf]))
+        dt = (time.perf_counter() - t0) / iters / batch * 1e6
+        print(f"{name:28s} {dt:8.1f} us/frame  (+{dt - prev:6.1f})", flush=True)
+        prev = dt
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

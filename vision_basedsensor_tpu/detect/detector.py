@@ -155,7 +155,9 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
         # in-kernel accumulate loop (window_sums_packed / window_sums_pallas,
         # kept for unaligned-height frames below) is vector-issue-bound at
         # ~68 us/frame; this pair measured ~39 us/frame (e2e 136 -> 107 us,
-        # B=256, single chip).
+        # B=256, single chip), and lane-rolling the gathered windows from
+        # 256 to 128 columns (the cutoff disk spans <= patch+1 columns)
+        # halves the patch-tensor HBM traffic (~107 -> ~103 us).
         patches, pstart = gather_windows(packed, peaks, geom, profile)
         sums = moments_from_patches(patches, pstart, peaks, geom, profile)
     else:

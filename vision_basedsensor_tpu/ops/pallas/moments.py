@@ -24,12 +24,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vision_basedsensor_tpu.config import DetectProfile
-from vision_basedsensor_tpu.ops.moments import NUM_SUMS, CutGeometry
+from vision_basedsensor_tpu.ops.moments import (NUM_SUMS, CutGeometry,
+                                                soft_weight_remap)
 from vision_basedsensor_tpu.ops.peaks import Peaks
 
 
 def _accumulate(band, area, gray, start_ref, peak_ref, geom_ref, out_ref, k,
-                rows_block: int, cols_block: int, cutoff: float):
+                rows_block: int, cols_block: int, cutoff: float,
+                soft_floor: float):
     """Reduce one peak's (rows_block, cols_block) window of the three fields
     into the 24 moment sums (ops/moments.py layout) at ``out_ref[0, k]``."""
     x0 = start_ref[0, k, 0]
@@ -56,7 +58,8 @@ def _accumulate(band, area, gray, start_ref, peak_ref, geom_ref, out_ref, k,
     g_in = jnp.where(keep, gray, jnp.inf)
     lo = jnp.min(g_in)
     hi = jnp.max(jnp.where(keep, gray, -jnp.inf))
-    w = jnp.clip((hi - gray) / jnp.maximum(hi - lo, 1e-3), 0.0, 1.0) * cut
+    w = jnp.clip((hi - gray) / jnp.maximum(hi - lo, 1e-3), 0.0, 1.0)
+    w = soft_weight_remap(w, soft_floor) * cut
 
     wh = (w >= 0.5).astype(jnp.float32)
     vals = jnp.stack([
@@ -75,7 +78,7 @@ def _accumulate(band, area, gray, start_ref, peak_ref, geom_ref, out_ref, k,
 
 def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
             out_ref, rows, sems, *, rows_block: int, cols_block: int,
-            cutoff: float):
+            cutoff: float, soft_floor: float):
     frame = pl.program_id(0)
     k_total = out_ref.shape[1]
 
@@ -109,7 +112,7 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
         wait_dma(slot, k)
         _accumulate(rows[slot, 0], rows[slot, 1], rows[slot, 2],
                     start_ref, peak_ref, geom_ref, out_ref, k,
-                    rows_block, cols_block, cutoff)
+                    rows_block, cols_block, cutoff, soft_floor)
         return ()
 
     jax.lax.fori_loop(0, k_total, body, ())
@@ -117,7 +120,7 @@ def _kernel(start_ref, peak_ref, geom_ref, band_hbm, area_hbm, gray_hbm,
 
 def _packed_kernel(start_ref, peak_ref, geom_ref, packed_hbm, out_ref, rows,
                    sems, *, rows_block: int, cols_block: int, cutoff: float,
-                   n_slots: int):
+                   soft_floor: float, n_slots: int):
     """Single-DMA variant: the three fields arrive packed as
     ``gray + 256*band + 512*area`` (ops/pallas/fields.py) — one window copy
     per peak instead of three, and an ``n_slots``-deep prefetch ring to hide
@@ -157,7 +160,7 @@ def _packed_kernel(start_ref, peak_ref, geom_ref, packed_hbm, out_ref, rows,
         band = jnp.floor(r * (1.0 / 256.0))
         gray = r - 256.0 * band
         _accumulate(band, area, gray, start_ref, peak_ref, geom_ref, out_ref,
-                    k, rows_block, cols_block, cutoff)
+                    k, rows_block, cols_block, cutoff, soft_floor)
         return ()
 
     jax.lax.fori_loop(0, k_total, body, ())
@@ -199,7 +202,7 @@ def _prep(h: int, w: int, peaks: Peaks, geom: CutGeometry,
          geom.ex[..., 1], geom.ey[..., 1], rhs[..., 1],
          geom.ex[..., 2], geom.ey[..., 2], rhs[..., 2]],
         axis=-1).astype(jnp.float32)                           # (B, K, 9)
-    return start, geom_packed, rows_block, cols_block
+    return start, geom_packed, rows_block, cols_block, cx
 
 
 def window_sums_packed(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
@@ -219,12 +222,13 @@ def window_sums_packed(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
     k = peaks.xy.shape[-2]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    start, geom_packed, rows_block, cols_block = _prep(h, w, peaks, geom,
-                                                       profile)
+    start, geom_packed, rows_block, cols_block, _ = _prep(h, w, peaks, geom,
+                                                          profile)
 
     kern = functools.partial(_packed_kernel, rows_block=rows_block,
                              cols_block=cols_block,
                              cutoff=float(profile.radial_cutoff_px),
+                             soft_floor=float(profile.soft_floor),
                              n_slots=n_slots)
     out = pl.pallas_call(
         kern,
@@ -250,9 +254,11 @@ def window_sums_packed(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
     return out[0] if squeeze else out
 
 
-def _gather_kernel(start_ref, packed_hbm, out_ref, sems, *, rows_block: int,
-                   cols_block: int, n_sems: int):
-    """Copy every peak's aligned window into the output block — no compute.
+def _gather_kernel(start_ref, packed_hbm, out_ref, rows, sems, *,
+                   rows_block: int, cols_block: int, out_cols: int,
+                   n_slots: int):
+    """Copy every peak's window into the output block, re-aligned to the
+    patch start.
 
     The moment math happens in batched XLA afterwards
     (ops/moments.py:moments_from_patches): measured on TPU, the in-kernel
@@ -260,44 +266,59 @@ def _gather_kernel(start_ref, packed_hbm, out_ref, sems, *, rows_block: int,
     (rows, 256) window is 7x the cutoff disk's bounding box and every peak
     pays ~30 vector ops over it serially), while gather + fused XLA
     reductions over all B*K windows at once is HBM-bound at ~2 full passes.
+
+    Each aligned ``(rows_block, cols_block)`` DMA lands in a scratch slot and
+    is lane-rolled so the (unaligned) patch start sits at lane 0, then only
+    the first ``out_cols`` (128) lanes are stored — the cutoff disk spans at
+    most ``patch_size + 1 <= 65`` columns from the patch start (see _prep),
+    so halving the stored window halves the dominant patch-tensor HBM
+    traffic at the cost of ~3 vector ops per peak.
     """
     frame = pl.program_id(0)
     k_total = out_ref.shape[1]
 
-    def _dma(k):
+    def _dma(slot, k):
         y0 = pl.multiple_of(start_ref[0, k, 1], 8)
-        x0 = pl.multiple_of(start_ref[0, k, 0], 128)
+        x0 = pl.multiple_of(start_ref[0, k, 2], 128)
         return pltpu.make_async_copy(
             packed_hbm.at[frame, pl.ds(y0, rows_block), pl.ds(x0, cols_block)],
-            out_ref.at[0, k],
-            sems.at[jax.lax.rem(k, n_sems)],
+            rows.at[slot],
+            sems.at[slot],
         )
 
-    # Keep n_sems DMAs in flight: wait for slot k-n_sems before reusing its
-    # semaphore.
+    for p in range(n_slots - 1):
+        @pl.when(p < k_total)
+        def _(p=p):
+            _dma(p, p).start()
+
     def body(k, _):
-        @pl.when(k >= n_sems)
+        slot = jax.lax.rem(k, n_slots)
+
+        @pl.when(k + n_slots - 1 < k_total)
         def _():
-            _dma(k - n_sems).wait()
-        _dma(k).start()
+            _dma(jax.lax.rem(k + n_slots - 1, n_slots), k + n_slots - 1).start()
+
+        _dma(slot, k).wait()
+        # Dynamic lane roll: patch column (start[0] - aligned start[2]) moves
+        # to lane 0. Positive-shift form of roll-left-by-s (tpu.dynamic_rotate
+        # takes non-negative shifts).
+        s = start_ref[0, k, 0] - start_ref[0, k, 2]
+        shift = jax.lax.rem(jnp.int32(cols_block) - s, jnp.int32(cols_block))
+        out_ref[0, k] = pltpu.roll(rows[slot], shift, 1)[:, :out_cols]
         return ()
 
     jax.lax.fori_loop(0, k_total, body, ())
 
-    def drain(k, _):
-        _dma(k).wait()
-        return ()
-
-    jax.lax.fori_loop(jnp.maximum(k_total - n_sems, 0), k_total, drain, ())
-
 
 def gather_windows(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
                    profile: DetectProfile, interpret: bool | None = None,
-                   n_sems: int = 8):
-    """Gather each peak's aligned packed-field window into a dense
-    ``(B, K, rows_block, cols_block)`` tensor (one DMA per peak; all DMA, no
-    compute). Returns ``(patches, start)`` with ``start`` ``(B, K, 2)`` the
-    aligned (x0, y0) window origins for absolute-coordinate reconstruction.
+                   n_slots: int = 4):
+    """Gather each peak's packed-field window into a dense
+    ``(B, K, rows_block, min(128, cols_block))`` tensor (one DMA per peak,
+    lane-rolled so the patch's clipped x-start is column 0). Returns
+    ``(patches, start)`` with ``start`` ``(B, K, 2)`` the (x0, y0) window
+    origins for absolute-coordinate reconstruction — x0 the exact patch
+    start, y0 the 8-aligned row start.
     """
     squeeze = packed.ndim == 2
     if squeeze:
@@ -308,32 +329,42 @@ def gather_windows(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
     k = peaks.xy.shape[-2]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    start, _, rows_block, cols_block = _prep(h, w, peaks, geom, profile)
+    start_a, _, rows_block, cols_block, cx = _prep(h, w, peaks, geom, profile)
+    out_cols = min(128, cols_block)
+    # SMEM triple per peak: (exact x start, aligned y start, aligned x start).
+    start3 = jnp.concatenate([cx[..., None], start_a[..., 1:],
+                              start_a[..., :1]], axis=-1)
 
     kern = functools.partial(_gather_kernel, rows_block=rows_block,
-                             cols_block=cols_block, n_sems=n_sems)
+                             cols_block=cols_block, out_cols=out_cols,
+                             n_slots=n_slots)
     out = pl.pallas_call(
         kern,
         grid=(b_frames,),
-        out_shape=jax.ShapeDtypeStruct((b_frames, k, rows_block, cols_block),
+        out_shape=jax.ShapeDtypeStruct((b_frames, k, rows_block, out_cols),
                                        jnp.float32),
         in_specs=[
-            pl.BlockSpec((1, k, 2), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),   # start
+            pl.BlockSpec((1, k, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # start triple
             pl.BlockSpec(memory_space=pl.ANY),       # packed (B, H, W)
         ],
-        out_specs=pl.BlockSpec((1, k, rows_block, cols_block),
+        out_specs=pl.BlockSpec((1, k, rows_block, out_cols),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((n_sems,))],
-        # The whole (K, rows, cols) output block lives in VMEM, double
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, rows_block, cols_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+        ],
+        # The whole (K, rows, out_cols) output block lives in VMEM, double
         # buffered by the grid pipeline; the default 16 MB scoped budget is
         # too small for K=96 windows.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * k * rows_block * cols_block * 4
+            vmem_limit_bytes=2 * k * rows_block * out_cols * 4
+            + n_slots * rows_block * cols_block * 4
             + 8 * 1024 * 1024),
         interpret=interpret,
-    )(start, packed)
+    )(start3, packed)
+    start = jnp.stack([cx, start_a[..., 1]], axis=-1)
     if squeeze:
         return out[0], start[0]
     return out, start
@@ -359,12 +390,13 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
     k = peaks.xy.shape[-2]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    start, geom_packed, rows_block, cols_block = _prep(h, w, peaks, geom,
-                                                       profile)
+    start, geom_packed, rows_block, cols_block, _ = _prep(h, w, peaks, geom,
+                                                          profile)
 
     kern = functools.partial(_kernel, rows_block=rows_block,
                              cols_block=cols_block,
-                             cutoff=float(profile.radial_cutoff_px))
+                             cutoff=float(profile.radial_cutoff_px),
+                             soft_floor=float(profile.soft_floor))
     out = pl.pallas_call(
         kern,
         grid=(b_frames,),
