@@ -433,7 +433,24 @@ def cmd_bench(args):
                                            "..", "..", "bench.py")]))
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache shared with bench.py: without it
+    every CLI invocation pays the full (remote, minutes-long over the axon
+    tunnel) TPU compile; with it reruns of the same shapes start hot."""
+    try:
+        import jax
+        root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("VBS_COMPILE_CACHE",
+                                         os.path.join(root, ".jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="vbs",
                                 description="TPU-native vision-based tactile sensor")
     p.add_argument("--config", help="PipelineConfig JSON file")
