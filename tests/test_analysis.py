@@ -65,6 +65,46 @@ def test_end_to_end_tilt_recovery():
     assert abs(float(res.mean_magnitude) - expected_mag) / expected_mag < 0.15
 
 
+def test_tilt_recovery_under_noise_and_distortion():
+    """Tilt recovery under joint sensor noise + lens distortion (ROADMAP
+    accuracy item): frames rendered THROUGH a Brown-Conrady lens with
+    additive Gaussian noise (sigma=2 gray levels) and multi-frame averaging
+    windows, as the reference's TXT exports average frames 1-30 / 120-150
+    (LocalAnalysis.py:14-15). Recovered tilt must stay within 1 deg of the
+    applied 15 deg reference pose (README.md:146)."""
+    dist = np.array([-0.18, 0.05, 0.0008, -0.0006, 0.0])
+    scene = default_scene(480, 640, dist=dist)
+    zero = jnp.zeros((65, 3), jnp.float32)
+    d_vert_true = jnp.asarray([0.0, 0.0, -1.0]) + zero
+    d_tilt_true = tilt_deviation_field(15.0, compression_mm=1.0)
+
+    rng = np.random.default_rng(7)
+    reps = 3  # short averaging window per state
+
+    def noisy(seq):
+        f = np.asarray(render_frames(scene, seq))
+        f = f + rng.normal(0.0, 2.0, f.shape)
+        return jnp.asarray(np.clip(f, 0, 255).astype(np.float32))
+
+    cfg = _cfg()
+    seq_v = jnp.concatenate([jnp.tile(zero[None], (reps, 1, 1)),
+                             jnp.tile(d_vert_true[None], (reps, 1, 1))])
+    seq_t = jnp.concatenate([jnp.tile(zero[None], (reps, 1, 1)),
+                             jnp.tile(d_tilt_true[None], (reps, 1, 1))])
+    out_v = run_video(noisy(seq_v), scene.cam, cfg, apply_warmup=False)
+    out_t = run_video(noisy(seq_t), scene.cam, cfg, apply_warmup=False)
+
+    d_vert, ok_v = start_end_displacement(out_v.recon, (0, reps - 1),
+                                          (reps, 2 * reps - 1))
+    d_tilt, ok_t = start_end_displacement(out_t.recon, (0, reps - 1),
+                                          (reps, 2 * reps - 1))
+    dev, ok = deviation_field(d_vert, ok_v, d_tilt, ok_t)
+    assert np.asarray(ok).sum() >= 55
+
+    res = analyze_deviation(dev, ok, AnalysisConfig())
+    assert abs(float(res.tilt_deg) - 15.0) < 1.0, float(res.tilt_deg)
+
+
 def test_ring_local_analysis():
     """Ring-2 averaged displacement (LocalAnalysis semantics): uniform -1 mm
     Z compression reads back as ~1 mm mean displacement."""

@@ -41,6 +41,20 @@ class DetectProfile:
     # (the Voronoi gate handles closer neighbors; the cutoff only needs to
     # bound the region inside the patch, with headroom for blobs growing as
     # the bonnet compresses toward the camera)
+    soft_floor: float = 0.08         # symmetric floor/saturation remap of the
+    # photometric soft weights: w -> clip((w - f) / (1 - 2f), 0, 1). Sensor
+    # noise only ADDS soft mass outside the blob (background pixels sit at
+    # w ~ 0 and the clip at 0 truncates the negative half of the noise), so
+    # unfloored soft second moments inflate additively under noise —
+    # measured: sigma=2 gray noise attenuated a 15 deg tilt recovery to
+    # ~9 deg via diameter-biased depths; with f=0.08 it recovers 15.0 deg.
+    # The remap zeroes the noise tail (w < f), saturates the interior
+    # symmetrically (w > 1-f), and leaves the half-level point fixed
+    # (remap(0.5) = 0.5, so the wh moments and the axis-scale calibration
+    # are unchanged). f=0.08 kills a ~1.6-sigma noise tail at the weakest
+    # DoG contrast while preserving ring identification on the reference's
+    # cluttered annotated figure (f=0.15 was measured to shift photometric
+    # centers enough to break it). 0 disables.
 
 
 # marker_detection.py:123-126,129,170: the >480-row profile.

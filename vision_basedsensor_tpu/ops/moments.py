@@ -49,6 +49,18 @@ from vision_basedsensor_tpu.ops.peaks import Peaks
 NUM_SUMS = 24
 
 
+def soft_weight_remap(w: jnp.ndarray, floor: float) -> jnp.ndarray:
+    """Symmetric floor/saturation remap of soft weights (see
+    ``DetectProfile.soft_floor``): maps ``[floor, 1-floor] -> [0, 1]``
+    keeping the half-level point fixed. Zeroes the additive noise skirt
+    (background pixels whose clipped ``w`` is positive purely from noise)
+    that otherwise inflates soft second moments. Identity for ``floor<=0``.
+    Shared by all three window-sums backends so they stay bit-equivalent."""
+    if floor <= 0.0:
+        return w
+    return jnp.clip((w - floor) * (1.0 / (1.0 - 2.0 * floor)), 0.0, 1.0)
+
+
 class CutGeometry(NamedTuple):
     """Per-peak isolation geometry: radial cutoff + 3 halfplanes."""
     ex: jnp.ndarray   # (K, 3) neighbor direction x
@@ -97,7 +109,8 @@ def window_sums_xla(band: jnp.ndarray, area: jnp.ndarray, gray: jnp.ndarray,
     lo = jnp.min(jnp.where(inside, fg, jnp.inf), axis=-1)
     hi = jnp.max(jnp.where(inside, fg, -jnp.inf), axis=-1)
     contrast = jnp.maximum(hi - lo, 1e-3)
-    w = jnp.clip((hi[:, None] - fg) / contrast[:, None], 0.0, 1.0) * c
+    w = jnp.clip((hi[:, None] - fg) / contrast[:, None], 0.0, 1.0)
+    w = soft_weight_remap(w, profile.soft_floor) * c
 
     def m(v):
         return jnp.stack([v.sum(-1), (v * fx).sum(-1), (v * fy).sum(-1)], -1)
@@ -159,7 +172,8 @@ def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
     hi = jnp.max(jnp.where(keep, gray, -jnp.inf), axis=(-2, -1))
     contrast = jnp.maximum(hi - lo, 1e-3)
     w = jnp.clip((hi[..., None, None] - gray) / contrast[..., None, None],
-                 0.0, 1.0) * cut
+                 0.0, 1.0)
+    w = soft_weight_remap(w, profile.soft_floor) * cut
     wh = (w >= 0.5).astype(f)
 
     def m(v):

@@ -3,10 +3,11 @@ from vision_basedsensor_tpu.synth.render import (
     default_scene,
     render_frames,
     indentation_staircase,
+    membrane_indentation_field,
     probe_indentation_field,
     tilt_deviation_field,
 )
 
 __all__ = ["DomeScene", "default_scene", "render_frames",
-           "indentation_staircase", "probe_indentation_field",
-           "tilt_deviation_field"]
+           "indentation_staircase", "membrane_indentation_field",
+           "probe_indentation_field", "tilt_deviation_field"]

@@ -183,6 +183,42 @@ def probe_indentation_field(depth_mm: float, contact_xy=(0.0, 0.0),
     return jnp.asarray(out)
 
 
+def membrane_indentation_field(depth_mm: float, contact_xy=(0.0, 0.0),
+                               probe_radius_mm: float = 5.0,
+                               tangential_frac: float = 0.3) -> jnp.ndarray:
+    """Probe indentation with membrane kinematics: normal sag PLUS radial
+    tangential flow.
+
+    :func:`probe_indentation_field` models the rig's -Z sag only
+    (README.md:103-121); a real elastomer membrane also stretches — material
+    under the probe is pushed radially outward, so markers translate in X/Y
+    too. Modeled as an axisymmetric outward flow that vanishes at the
+    contact centre, peaks at the contact edge ``r = a``, and decays outside:
+
+        u_r(r) = tangential_frac * depth * (r/a) * exp((1 - (r/a)^2) / 2)
+
+    (peak value ``tangential_frac * depth`` at ``r = a``; the Gaussian-decay
+    shape is the standard far-field of a point indentation on a stretched
+    membrane). This stresses full 3D displacement recovery — the reference
+    only ever validates Z (its rig prescribes pure -Z steps) while its
+    output schema carries dX/dY/dZ (``3d_reconstruction.py:296-307``).
+    Returns ``(65, 3)`` world displacements (mm).
+    """
+    dz = np.asarray(probe_indentation_field(depth_mm, contact_xy,
+                                            probe_radius_mm))
+    table = layout.dome_layout()
+    rx = table[:, 1] - contact_xy[0]
+    ry = table[:, 2] - contact_xy[1]
+    r = np.hypot(rx, ry)
+    a = max(probe_radius_mm * np.sqrt(
+        max(0.0, 1 - (1 - depth_mm / probe_radius_mm) ** 2)), 1e-6) \
+        if depth_mm < probe_radius_mm else probe_radius_mm
+    u_r = tangential_frac * depth_mm * (r / a) * np.exp(0.5 * (1 - (r / a) ** 2))
+    safe_r = np.maximum(r, 1e-9)
+    out = np.stack([u_r * rx / safe_r, u_r * ry / safe_r, dz[:, 2]], axis=-1)
+    return jnp.asarray(out.astype(np.float32))
+
+
 def tilt_deviation_field(tilt_deg: float, axis: str = "y",
                          compression_mm: float = 1.0) -> jnp.ndarray:
     """Displacement field of a tilted compression: each marker moves along -Z
