@@ -1,12 +1,18 @@
 """Cumulative-ablation profile of the detect hot path on real TPU.
 
 Per-stage timers are untrustworthy through the axon relay (see
-.claude/skills/verify/SKILL.md); stage costs are attributed by timing
-successively longer prefixes of the pipeline inside one jit each, on
-distinct pre-staged input batches (identical executions can be deduped by
-the relay, so each iteration gets its own buffer).
+.claude/skills/verify/SKILL.md): block_until_ready can acknowledge without
+executing (measured 0.1 us/frame for the full detect stage, a physical
+impossibility), and identical executions can be deduped. This harness makes
+every iteration's execution unavoidable by CHAINING: iteration i's scalar
+output feeds iteration i+1's input frames, and one device->host transfer at
+the end forces the whole chain. The chain adds one elementwise pass + the
+final RTT, identical for every stage, so stage DELTAS are clean.
 
-Usage: python benchmarks/ablate_detect.py [batch] [iters] [n_buffers]
+Sanity anchor: the "full detect" row must land near the independently
+verified full-pipeline number (bench.py; ~105-115 us/frame at B=256).
+
+Usage: python benchmarks/ablate_detect.py [batch] [iters]
 """
 from __future__ import annotations
 
@@ -15,9 +21,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def main(batch: int = 256, iters: int = 8, n_buf: int = 4):
+def main(batch: int = 256, iters: int = 6):
     from vision_basedsensor_tpu.config import PipelineConfig
     from vision_basedsensor_tpu.detect.detector import detect_markers_and_scale
     from vision_basedsensor_tpu.ops.dog import dog_area_mask
@@ -34,13 +41,7 @@ def main(batch: int = 256, iters: int = 8, n_buf: int = 4):
     scene = default_scene(height=480, width=640)
     d = jnp.zeros((batch, 65, 3), jnp.float32)
     d = d.at[:, :, 2].add(-0.002 * jnp.arange(batch)[:, None])
-    base = render_frames(scene, d)
-    key = jax.random.PRNGKey(0)
-    bufs = [jax.block_until_ready(
-        jnp.clip(base + jax.random.normal(jax.random.fold_in(key, i),
-                                          base.shape) * 0.5, 0, 255))
-            for i in range(n_buf)]
-
+    frames = jax.block_until_ready(render_frames(scene, d))
     w = 640
 
     def filters(gray):
@@ -58,7 +59,7 @@ def main(batch: int = 256, iters: int = 8, n_buf: int = 4):
         packed, cval, cidx = fused_fields(ncc, area.astype(jnp.float32), gray,
                                           cfg.ncc_threshold, cfg.open_ksize,
                                           prof)
-        return packed.sum() + cval.sum() + cidx.sum()
+        return packed[:, 0, :].sum() + cval.sum() + cidx.sum()
 
     def _to_peaks(gray):
         area, ncc = filters(gray)
@@ -71,13 +72,13 @@ def main(batch: int = 256, iters: int = 8, n_buf: int = 4):
 
     def s3(gray):
         packed, peaks = _to_peaks(gray)
-        return packed[0, 0, 0] + peaks.xy.sum() + peaks.score.sum()
+        return packed[:, 0, :].sum() + peaks.xy.sum() + peaks.score.sum()
 
     def s4(gray):
         packed, peaks = _to_peaks(gray)
         geom = jax.vmap(cut_geometry)(peaks)
         patches, pstart = gather_windows(packed, peaks, geom, prof)
-        return patches.sum() + pstart.sum()
+        return patches[..., 0, :].sum() + pstart.sum()
 
     def s5(gray):
         packed, peaks = _to_peaks(gray)
@@ -96,13 +97,18 @@ def main(batch: int = 256, iters: int = 8, n_buf: int = 4):
 
     prev = 0.0
     for name, fn in stages:
-        f = jax.jit(fn)
-        jax.block_until_ready(f(bufs[0]))
-        for b in bufs[1:]:
-            jax.block_until_ready(f(b))
+        # Chain: each iteration's input depends on the previous iteration's
+        # scalar (x + tiny*s is bit-identical to x for |tiny*s| below f32
+        # ulp of the 0..255 frames, so every iteration computes the same
+        # work on the same values but CANNOT be elided or reordered).
+        chained = jax.jit(lambda g, s: (fn(g + 1e-30 * s)))
+        s = jax.block_until_ready(chained(frames, jnp.float32(0.0)))  # compile
+        float(s)
         t0 = time.perf_counter()
-        for i in range(iters):
-            out = jax.block_until_ready(f(bufs[i % n_buf]))
+        s = jnp.float32(0.0)
+        for _ in range(iters):
+            s = chained(frames, s)
+        float(np.asarray(s))    # device->host transfer forces the chain
         dt = (time.perf_counter() - t0) / iters / batch * 1e6
         print(f"{name:28s} {dt:8.1f} us/frame  (+{dt - prev:6.1f})", flush=True)
         prev = dt

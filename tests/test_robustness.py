@@ -54,6 +54,64 @@ def test_occlusion_drops_only_hidden_markers():
     assert seen[1][~hidden].sum() >= 59
 
 
+def _occluded_frames(level_fn):
+    """Two rest frames; frame 1 has marker 30's right half overwritten."""
+    from vision_basedsensor_tpu.core import camera as cam_mod
+    from vision_basedsensor_tpu import layout
+    scene = default_scene(480, 640)
+    zero = jnp.zeros((65, 3), jnp.float32)
+    frames = np.array(render_frames(scene, jnp.stack([zero, zero])))
+    world = layout.dome_layout()[:, 1:]
+    uv = np.asarray(cam_mod.project_points(scene.cam, jnp.asarray(world)))
+    mx, my = uv[30]
+    frames[1, int(my) - 14:int(my) + 15, int(mx):int(mx) + 15] = \
+        level_fn(frames[1])
+    return scene, jnp.asarray(frames)
+
+
+def test_partial_occlusion_gated_by_axis_ratio():
+    """A marker HALF-covered by bright debris leaves a half-disk whose
+    moment ellipse passes every reference gate (fitEllipse on the clipped
+    contour has no validity check beyond minor>=5 px,
+    marker_detection.py:208,219) yet measures a ~2x-biased diameter —
+    without the axis-ratio gate this fabricated a 13.9 mm phantom
+    displacement. The half-disk's ~1.9-2.0 major/minor trips
+    ReconstructConfig.max_axis_ratio (1.6), so the observation drops for
+    the frame while every other marker keeps tracking."""
+    scene, frames = _occluded_frames(lambda f: f.max())  # bright occluder
+    out = run_video(frames, scene.cam, _cfg(), apply_warmup=False)
+    seen = np.asarray(out.recon.seen)
+    assert seen[0].sum() == 65
+    assert not seen[1][30], "half-occluded marker must be gated out"
+    others = np.ones(65, bool)
+    others[30] = False
+    ffn = np.asarray(out.recon.from_first_norm)[1]
+    assert seen[1][others].sum() >= 62
+    assert ffn[others & seen[1]].max() < 0.05, ffn[others & seen[1]].max()
+
+
+def test_blob_merge_gated_by_step_displacement():
+    """DARK debris touching a marker merges into one blob (the reference's
+    contour labeling merges identically — SURVEY §2.2; its only defense is
+    the 50-unit step gate, 3d_reconstruction.py:293-294). The merged blob
+    stays near-circular (ratio ~1.15) so no shape gate can catch it; the
+    inflated diameter reads as a ~14 mm depth jump in one frame. With the
+    step gate at a physical value (5 mm/frame; the reference's 50 is a
+    replicated quirk-8 constant) the phantom step is masked, and the scan's
+    carry semantics recover the marker once the debris clears."""
+    from vision_basedsensor_tpu.config import (PipelineConfig,
+                                               ReconstructConfig)
+    scene, frames = _occluded_frames(lambda f: f.min())  # dark = merge
+    cfg = PipelineConfig(reconstruct=ReconstructConfig(
+        warmup_frames=0, max_step_displacement_mm=5.0))
+    out = run_video(frames, scene.cam, cfg, apply_warmup=False)
+    sv = np.asarray(out.recon.step_valid)
+    assert not sv[1, 30], "phantom 14 mm step must fail the 5 mm/frame gate"
+    others = np.ones(65, bool)
+    others[30] = False
+    assert sv[1][others].sum() >= 62
+
+
 def test_sensor_noise_tolerance(rng):
     """Additive sensor noise (sigma=3 gray levels): all markers still found;
     centroid scatter stays within the photometric estimator's noise floor

@@ -157,6 +157,12 @@ class ReconstructConfig:
     # (it undistorts centers only), biasing off-center depths under barrel
     # distortion; disable for strict reference parity.
     distortion_corrected_diameter: bool = True
+    # Drop observations whose ellipse major/minor exceeds this (None
+    # disables). Partial occlusion leaves a well-formed but badly biased
+    # moment ellipse that passes every reference gate (a half-disk measures
+    # ratio ~1.9 and fabricated a 13.9 mm phantom displacement in testing);
+    # legitimate dome markers stay below ~1.4 under compression + tilt.
+    max_axis_ratio: float | None = 1.6
 
 
 @dataclass(frozen=True)

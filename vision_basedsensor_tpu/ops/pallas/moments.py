@@ -192,6 +192,7 @@ def _prep(h: int, w: int, peaks: Peaks, geom: CutGeometry,
     cols_block = 256 if w >= 256 else w
     cx = jnp.clip(jnp.round(peaks.xy[..., 0]).astype(jnp.int32) - half, 0, w - p)
     cy = jnp.clip(jnp.round(peaks.xy[..., 1]).astype(jnp.int32) - half, 0, h - p)
+    cy_exact = cy
     # Mosaic DMA offsets must be multiples of the (8, 128) f32 tiling.
     cy = jnp.clip((cy // 8) * 8, 0, max(h - rows_block, 0))
     cxa = jnp.clip((cx // 128) * 128, 0, max(w - cols_block, 0))
@@ -202,7 +203,7 @@ def _prep(h: int, w: int, peaks: Peaks, geom: CutGeometry,
          geom.ex[..., 1], geom.ey[..., 1], rhs[..., 1],
          geom.ex[..., 2], geom.ey[..., 2], rhs[..., 2]],
         axis=-1).astype(jnp.float32)                           # (B, K, 9)
-    return start, geom_packed, rows_block, cols_block, cx
+    return start, geom_packed, rows_block, cols_block, cx, cy_exact
 
 
 def window_sums_packed(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
@@ -222,8 +223,8 @@ def window_sums_packed(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
     k = peaks.xy.shape[-2]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    start, geom_packed, rows_block, cols_block, _ = _prep(h, w, peaks, geom,
-                                                          profile)
+    start, geom_packed, rows_block, cols_block, _, _ = _prep(h, w, peaks,
+                                                             geom, profile)
 
     kern = functools.partial(_packed_kernel, rows_block=rows_block,
                              cols_block=cols_block,
@@ -255,8 +256,8 @@ def window_sums_packed(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
 
 
 def _gather_kernel(start_ref, packed_hbm, out_ref, rows, sems, *,
-                   rows_block: int, cols_block: int, out_cols: int,
-                   n_slots: int):
+                   rows_block: int, cols_block: int, out_rows: int,
+                   out_cols: int, n_slots: int):
     """Copy every peak's window into the output block, re-aligned to the
     patch start.
 
@@ -267,12 +268,14 @@ def _gather_kernel(start_ref, packed_hbm, out_ref, rows, sems, *,
     pays ~30 vector ops over it serially), while gather + fused XLA
     reductions over all B*K windows at once is HBM-bound at ~2 full passes.
 
-    Each aligned ``(rows_block, cols_block)`` DMA lands in a scratch slot and
-    is lane-rolled so the (unaligned) patch start sits at lane 0, then only
-    the first ``out_cols`` (128) lanes are stored — the cutoff disk spans at
-    most ``patch_size + 1 <= 65`` columns from the patch start (see _prep),
-    so halving the stored window halves the dominant patch-tensor HBM
-    traffic at the cost of ~3 vector ops per peak.
+    Each aligned ``(rows_block, cols_block)`` DMA lands in a scratch slot
+    and is rolled (tpu.dynamic_rotate on both axes) so the unaligned patch
+    start sits at row 0 / lane 0; only ``(patch_size, 128)`` rows/lanes are
+    stored. The cutoff disk lies strictly inside the clipped patch's rows
+    ``[cy, cy+p)`` and columns ``[cx, cx+p]`` (cutoff <= p/2 - 1.5 after
+    the round-to-int patch start's +-0.5: 18 vs 20 low-res, 30 vs 32
+    high-res), so the stored window loses no gated pixel while cutting the
+    patch-tensor HBM traffic to ~40% of the naive aligned windows.
     """
     frame = pl.program_id(0)
     k_total = out_ref.shape[1]
@@ -299,12 +302,15 @@ def _gather_kernel(start_ref, packed_hbm, out_ref, rows, sems, *,
             _dma(jax.lax.rem(k + n_slots - 1, n_slots), k + n_slots - 1).start()
 
         _dma(slot, k).wait()
-        # Dynamic lane roll: patch column (start[0] - aligned start[2]) moves
-        # to lane 0. Positive-shift form of roll-left-by-s (tpu.dynamic_rotate
-        # takes non-negative shifts).
-        s = start_ref[0, k, 0] - start_ref[0, k, 2]
-        shift = jax.lax.rem(jnp.int32(cols_block) - s, jnp.int32(cols_block))
-        out_ref[0, k] = pltpu.roll(rows[slot], shift, 1)[:, :out_cols]
+        # Dynamic rolls: the exact patch start (x in start[0], y in
+        # start[3]; aligned DMA origins in start[2]/start[1]) moves to
+        # lane 0 / row 0. tpu.dynamic_rotate takes non-negative shifts.
+        sx = start_ref[0, k, 0] - start_ref[0, k, 2]
+        sy = start_ref[0, k, 3] - start_ref[0, k, 1]
+        cshift = jax.lax.rem(jnp.int32(cols_block) - sx, jnp.int32(cols_block))
+        rshift = jax.lax.rem(jnp.int32(rows_block) - sy, jnp.int32(rows_block))
+        v = pltpu.roll(pltpu.roll(rows[slot], cshift, 1), rshift, 0)
+        out_ref[0, k] = v[:out_rows, :out_cols]
         return ()
 
     jax.lax.fori_loop(0, k_total, body, ())
@@ -314,11 +320,10 @@ def gather_windows(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
                    profile: DetectProfile, interpret: bool | None = None,
                    n_slots: int = 4):
     """Gather each peak's packed-field window into a dense
-    ``(B, K, rows_block, min(128, cols_block))`` tensor (one DMA per peak,
-    lane-rolled so the patch's clipped x-start is column 0). Returns
-    ``(patches, start)`` with ``start`` ``(B, K, 2)`` the (x0, y0) window
-    origins for absolute-coordinate reconstruction — x0 the exact patch
-    start, y0 the 8-aligned row start.
+    ``(B, K, patch_size, min(128, cols_block))`` tensor (one DMA per peak,
+    rolled so the patch's clipped (x, y) start is element (0, 0)). Returns
+    ``(patches, start)`` with ``start`` ``(B, K, 2)`` the exact clipped
+    patch origins for absolute-coordinate reconstruction.
     """
     squeeze = packed.ndim == 2
     if squeeze:
@@ -329,26 +334,28 @@ def gather_windows(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
     k = peaks.xy.shape[-2]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    start_a, _, rows_block, cols_block, cx = _prep(h, w, peaks, geom, profile)
+    start_a, _, rows_block, cols_block, cx, cy = _prep(h, w, peaks, geom,
+                                                       profile)
     out_cols = min(128, cols_block)
-    # SMEM triple per peak: (exact x start, aligned y start, aligned x start).
-    start3 = jnp.concatenate([cx[..., None], start_a[..., 1:],
-                              start_a[..., :1]], axis=-1)
+    out_rows = profile.patch_size        # multiple of 8 in both profiles
+    # SMEM quad per peak: exact x, aligned y, aligned x, exact y.
+    start4 = jnp.concatenate([cx[..., None], start_a[..., 1:],
+                              start_a[..., :1], cy[..., None]], axis=-1)
 
     kern = functools.partial(_gather_kernel, rows_block=rows_block,
-                             cols_block=cols_block, out_cols=out_cols,
-                             n_slots=n_slots)
+                             cols_block=cols_block, out_rows=out_rows,
+                             out_cols=out_cols, n_slots=n_slots)
     out = pl.pallas_call(
         kern,
         grid=(b_frames,),
-        out_shape=jax.ShapeDtypeStruct((b_frames, k, rows_block, out_cols),
+        out_shape=jax.ShapeDtypeStruct((b_frames, k, out_rows, out_cols),
                                        jnp.float32),
         in_specs=[
-            pl.BlockSpec((1, k, 3), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),   # start triple
+            pl.BlockSpec((1, k, 4), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # start quad
             pl.BlockSpec(memory_space=pl.ANY),       # packed (B, H, W)
         ],
-        out_specs=pl.BlockSpec((1, k, rows_block, out_cols),
+        out_specs=pl.BlockSpec((1, k, out_rows, out_cols),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -359,12 +366,12 @@ def gather_windows(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
         # buffered by the grid pipeline; the default 16 MB scoped budget is
         # too small for K=96 windows.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * k * rows_block * out_cols * 4
+            vmem_limit_bytes=2 * k * out_rows * out_cols * 4
             + n_slots * rows_block * cols_block * 4
             + 8 * 1024 * 1024),
         interpret=interpret,
-    )(start3, packed)
-    start = jnp.stack([cx, start_a[..., 1]], axis=-1)
+    )(start4, packed)
+    start = jnp.stack([cx, cy], axis=-1)
     if squeeze:
         return out[0], start[0]
     return out, start
@@ -390,8 +397,8 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
     k = peaks.xy.shape[-2]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    start, geom_packed, rows_block, cols_block, _ = _prep(h, w, peaks, geom,
-                                                          profile)
+    start, geom_packed, rows_block, cols_block, _, _ = _prep(h, w, peaks,
+                                                             geom, profile)
 
     kern = functools.partial(_kernel, rows_block=rows_block,
                              cols_block=cols_block,

@@ -97,7 +97,7 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
         det = detect_markers(frames_c, cfg.detect, axis_scale=ref.axis_scale)
         tracked = associate(ref, det, cfg.track.min_marker_distance_px)
         world, ok = reconstruct_positions(
-            cam, tracked.xy, tracked.axes[..., 0], tracked.valid,
+            cam, tracked.xy, tracked.axes, tracked.valid,
             cfg.reconstruct)
         if cfg.reconstruct.warmup_frames > 0 and apply_warmup:
             keep = jnp.arange(world.shape[0]) >= cfg.reconstruct.warmup_frames

@@ -186,7 +186,7 @@ class StreamingPipeline:
                 tracked = associate(ref_in, det, cfg.track.min_marker_distance_px)
                 assoc_out = assoc_in
             world, ok = reconstruct_positions(
-                cam, tracked.xy, tracked.axes[..., 0], tracked.valid,
+                cam, tracked.xy, tracked.axes, tracked.valid,
                 cfg.reconstruct)
             recon, carry_out = displacement_scan(world, ok, cfg.reconstruct,
                                                  carry=carry_in,

@@ -17,13 +17,14 @@ from vision_basedsensor_tpu.core.camera import CameraModel
 
 
 def reconstruct_positions(cam: CameraModel, uv: jnp.ndarray,
-                          diameter_px: jnp.ndarray, valid: jnp.ndarray,
+                          axes_px: jnp.ndarray, valid: jnp.ndarray,
                           cfg: ReconstructConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pixel observations -> world positions.
 
     Args:
       uv: ``(..., 2)`` distorted pixel centers (Cx, Cy).
-      diameter_px: ``(...,)`` observed major axes.
+      axes_px: ``(..., 2)`` observed (major, minor) axes; depth uses the
+        major axis like the reference (``3d_reconstruction.py:209``).
       valid: ``(...,)`` observation mask.
 
     Applies the reference's gates: markers smaller than
@@ -34,10 +35,23 @@ def reconstruct_positions(cam: CameraModel, uv: jnp.ndarray,
     (d_eff = D there), and an exactly-centered marker is a legitimate
     observation (the apex marker sits on the axis by design).
 
+    One gate the reference does NOT have: ``max_axis_ratio``. A marker
+    half-covered by debris still yields a well-formed moment ellipse whose
+    measured major axis is badly biased — measured: a half-occluded marker
+    passed every reference gate and fabricated a 13.9 mm displacement. A
+    half-disk's moment ellipse has major/minor ~ 1.9 while legitimate dome
+    markers stay below ~1.4 under compression + tilt, so eccentric
+    observations drop for the frame (per-marker continue-on-failure
+    semantics, 3d_reconstruction.py:309-311).
+
     Returns (world positions ``(..., 3)``, updated validity).
     """
+    diameter_px = axes_px[..., 0]
     uv_u = cam_mod.undistort_points(cam, uv, iters=cfg.undistort_iters)
     ok = valid & (diameter_px >= cfg.min_marker_size_px)
+    if cfg.max_axis_ratio is not None:
+        ratio = diameter_px / jnp.maximum(axes_px[..., 1], 1e-6)
+        ok = ok & (ratio <= cfg.max_axis_ratio)
 
     if cfg.distortion_corrected_diameter:
         # The reference measures diameters in the DISTORTED image but never

@@ -99,7 +99,7 @@ def reconstruct_sequence(cam: CameraModel, tracked: TrackedFrames,
     (``3d_reconstruction.py:255-256``).
     """
     world, ok = reconstruct_positions(
-        cam, tracked.xy, tracked.axes[..., 0], tracked.valid, cfg)
+        cam, tracked.xy, tracked.axes, tracked.valid, cfg)
     if apply_warmup and cfg.warmup_frames > 0:
         b = world.shape[0]
         keep = jnp.arange(b) >= cfg.warmup_frames
