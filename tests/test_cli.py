@@ -195,3 +195,56 @@ def test_cli_tilt_end_to_end(tmp_path, capsys):
     assert abs(angle - 15.0) < 0.5
     assert os.path.exists(os.path.join(outdir, "vertical.txt"))
     assert os.path.exists(os.path.join(outdir, "tilted.txt"))
+
+
+def test_cli_run_live_with_publisher(capsys):
+    """run-live --publish: live MJPEG loop + contact-state JSON endpoint."""
+    import dataclasses
+    import json
+    import threading
+    import urllib.request
+
+    from vision_basedsensor_tpu.capture import CameraHandler, StreamingServer
+    from vision_basedsensor_tpu.capture.server import SyntheticCamera
+    from vision_basedsensor_tpu.config import CaptureConfig
+    from vision_basedsensor_tpu.synth import default_scene
+
+    cap_cfg = dataclasses.replace(CaptureConfig(), port=0, width=320,
+                                  height=240, fps=30)
+    scene = default_scene(240, 320)
+    camera = CameraHandler(cap_cfg, None,
+                           synthetic=SyntheticCamera(cap_cfg, scene))
+    server = StreamingServer(cap_cfg, camera)
+    server.start()
+
+    captured = {}
+
+    def snoop():
+        # Poll until the CLI's publisher comes up, then read one state.
+        import time
+        for _ in range(200):
+            time.sleep(0.05)
+            try:
+                s = urllib.request.urlopen(
+                    f"http://127.0.0.1:18293/state", timeout=1).read()
+                captured["state"] = json.loads(s)
+                return
+            except Exception:
+                continue
+
+    # The publisher closes with main(), so read the state concurrently on a
+    # fixed port rather than parsing stdout afterwards.
+    t = threading.Thread(target=snoop)
+    t.start()
+    try:
+        main(["run-live", f"http://127.0.0.1:{server.port}/stream",
+              "--batch", "2", "--max-frames", "4", "--publish", "18293"])
+    finally:
+        server.stop()
+        t.join(timeout=15)
+    out = capsys.readouterr().out
+    assert "contact state served" in out
+    assert "tracked" in out
+    st = captured.get("state")
+    assert st is not None, "publisher never served a state"
+    assert "tilt_deg" in st and st["frames_seen"] >= 2

@@ -128,3 +128,72 @@ def test_live_mjpeg_loop():
         assert seen.sum(axis=1).min() >= 60
     finally:
         server.stop()
+
+
+def test_state_publisher_poll_and_events():
+    """The contact-state publisher (io/publish.py): /state long-poll, /events
+    SSE, /healthz — the production serving endpoint the robot controller
+    consumes (README.md:124's pose compensation needs a machine-readable
+    transport the reference never provides)."""
+    import json
+    import threading
+    import urllib.request
+
+    from vision_basedsensor_tpu.io.publish import StatePublisher
+
+    pub = StatePublisher(port=0, poll_timeout_s=2.0)
+    base = f"http://127.0.0.1:{pub.port}"
+    try:
+        assert urllib.request.urlopen(f"{base}/healthz",
+                                      timeout=5).read() == b"ok"
+        # No state yet -> 404.
+        try:
+            urllib.request.urlopen(f"{base}/state", timeout=5)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        pub.update({"tilt_deg": 14.9, "valid": True})
+        s1 = json.loads(urllib.request.urlopen(f"{base}/state",
+                                               timeout=5).read())
+        assert s1["tilt_deg"] == 14.9 and s1["seq"] == 1
+
+        # Long-poll for seq > 1 races an update from another thread.
+        t = threading.Timer(0.2, pub.update, ({"tilt_deg": 15.2,
+                                               "valid": True},))
+        t.start()
+        s2 = json.loads(urllib.request.urlopen(f"{base}/state?seq=1",
+                                               timeout=5).read())
+        assert s2["seq"] == 2 and s2["tilt_deg"] == 15.2
+        t.join()
+
+        # SSE: first event delivers the latest state immediately.
+        with urllib.request.urlopen(f"{base}/events", timeout=5) as r:
+            line = r.readline()
+            assert line.startswith(b"data: ")
+            ev = json.loads(line[len(b"data: "):])
+            assert ev["seq"] == 2
+    finally:
+        pub.close()
+
+
+def test_contact_state_payload_schema():
+    """contact_state_payload flattens one ContactState frame to floats."""
+    from vision_basedsensor_tpu.analysis.force import contact_state_sequence
+    from vision_basedsensor_tpu.config import AnalysisConfig
+    from vision_basedsensor_tpu.io.publish import contact_state_payload
+    from vision_basedsensor_tpu.reconstruct import displacement_scan
+    from vision_basedsensor_tpu.synth import tilt_deviation_field
+
+    world = np.tile(np.zeros((1, 65, 3), np.float32), (2, 1, 1))
+    world[1] = np.asarray(tilt_deviation_field(15.0, compression_mm=0.0))
+    seen = np.ones((2, 65), bool)
+    recon = displacement_scan(jnp.asarray(world), jnp.asarray(seen),
+                              ReconstructConfig(warmup_frames=0))
+    state = contact_state_sequence(recon, AnalysisConfig())
+    p = contact_state_payload(state, -1, frames_seen=2)
+    assert abs(p["tilt_deg"] - 15.0) < 1e-2
+    assert p["valid"] is True and p["frames_seen"] == 2
+    assert len(p["plane"]) == 3 and len(p["mean_vector_mm"]) == 3
+    json_ok = __import__("json").dumps(p)
+    assert "tilt_deg" in json_ok

@@ -403,13 +403,27 @@ def cmd_run_live(args):
         print(f"resumed session from {args.resume}")
     sp = StreamingPipeline(cam, cfg, ref=ref, carry=carry, assoc_xy=assoc_xy)
     src = MjpegVideoSource(args.url, max_frames=args.max_frames)
-    for out in sp.run(src, batch_size=args.batch):
-        seen = np.asarray(out.recon.seen)
-        ffn = np.asarray(out.recon.from_first_norm)
-        mean_disp = float(ffn[seen].mean()) if seen.any() else 0.0
-        print(f"frames {sp.frames_seen}: tracked "
-              f"{int(seen[-1].sum())}/65 markers, "
-              f"mean displacement {mean_disp:.3f} mm", flush=True)
+    pub = None
+    if args.publish is not None:
+        from vision_basedsensor_tpu.io.publish import (StatePublisher,
+                                                       contact_state_payload)
+        pub = StatePublisher(port=args.publish)
+        print(f"contact state served on :{pub.port} "
+              "(/state, /events, /healthz)", flush=True)
+    try:
+        for out in sp.run(src, batch_size=args.batch):
+            seen = np.asarray(out.recon.seen)
+            ffn = np.asarray(out.recon.from_first_norm)
+            mean_disp = float(ffn[seen].mean()) if seen.any() else 0.0
+            print(f"frames {sp.frames_seen}: tracked "
+                  f"{int(seen[-1].sum())}/65 markers, "
+                  f"mean displacement {mean_disp:.3f} mm", flush=True)
+            if pub is not None and out.contact is not None:
+                pub.update(contact_state_payload(out.contact, -1,
+                                                 sp.frames_seen))
+    finally:
+        if pub is not None:
+            pub.close()
     if args.resume:
         save_session(args.resume, sp.ref, cfg, scan_carry=sp.carry,
                      assoc_xy=sp.assoc_xy)
@@ -546,6 +560,10 @@ def main(argv=None):
     rl.add_argument("--calibration")
     rl.add_argument("--extrinsics")
     rl.add_argument("--resume", help="session checkpoint directory")
+    rl.add_argument("--publish", type=int, metavar="PORT",
+                    help="serve the latest contact state as JSON on this "
+                         "port (/state, /events; 0 = ephemeral) for the "
+                         "robot-side pose compensation (README.md:124)")
     rl.set_defaults(fn=cmd_run_live)
 
     sv = sub.add_parser("serve", help="MJPEG acquisition server")
