@@ -125,3 +125,45 @@ def test_packed_sums_match_xla(fields):
     fin = np.isfinite(a)
     np.testing.assert_array_equal(fin, np.isfinite(b))
     np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-3)
+
+
+def test_gather_moments_matches_split_path():
+    """The fused gather+reduce kernel (gather_moments) must reproduce the
+    split path (gather_windows -> moments_from_patches) on a rendered
+    scene: identical window content (same DMA + rolls) reduced by the same
+    formulas, only without the HBM patch tensor. Sums agree to reduction
+    -order rounding (sequential-axis reduces vs joint; ~2e-4 relative on
+    f32 sums — ~1e-6 px on the derived centroids)."""
+    import jax
+
+    from vision_basedsensor_tpu.config import PipelineConfig
+    from vision_basedsensor_tpu.ops.dog import dog_area_mask
+    from vision_basedsensor_tpu.ops.moments import (cut_geometry,
+                                                    moments_from_patches)
+    from vision_basedsensor_tpu.ops.ncc import normxcorr_gaussian
+    from vision_basedsensor_tpu.ops.pallas.fields import fused_fields
+    from vision_basedsensor_tpu.ops.pallas.moments import (gather_moments,
+                                                           gather_windows)
+    from vision_basedsensor_tpu.ops.peaks import select_peaks_from_cells
+    from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+    cfg = PipelineConfig().detect
+    prof = cfg.low_res
+    scene = default_scene(240, 384)
+    gray = render_frames(scene, jnp.zeros((2, 65, 3), jnp.float32)
+                         .at[1, :, 2].add(-0.5))
+    area = dog_area_mask(gray, prof, cfg.dog_offset)
+    ncc = normxcorr_gaussian(area.astype(jnp.float32), prof.template_size,
+                             prof.template_sigma, binary_input=True)
+    packed, cval, cidx = fused_fields(ncc, area.astype(jnp.float32), gray,
+                                      cfg.ncc_threshold, cfg.open_ksize,
+                                      prof)
+    peaks = select_peaks_from_cells(cval, cidx, 384, cfg.max_candidates,
+                                    float(prof.peak_window))
+    geom = jax.vmap(cut_geometry)(peaks)
+    patches, pstart = gather_windows(packed, peaks, geom, prof)
+    s_ref = np.asarray(moments_from_patches(patches, pstart, peaks, geom,
+                                            prof))
+    s_new = np.asarray(gather_moments(packed, peaks, geom, prof))
+    v = np.asarray(peaks.valid)
+    np.testing.assert_allclose(s_new[v], s_ref[v], rtol=1e-4, atol=5e-3)

@@ -157,7 +157,12 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
         # ~68 us/frame; this pair measured ~39 us/frame (e2e 136 -> 107 us,
         # B=256, single chip), and lane-rolling the gathered windows from
         # 256 to 128 columns (the cutoff disk spans <= patch+1 columns)
-        # halves the patch-tensor HBM traffic (~107 -> ~103 us).
+        # halves the patch-tensor HBM traffic (~107 -> ~103 us). A fully
+        # fused gather+reduce kernel (gather_moments, kept for reference)
+        # measured 5,934 vs 9,668 fps e2e: even ~15 serial vector ops per
+        # peak (the lo/hi-dependent soft weights) put the loop back in the
+        # vector-issue-bound regime, and Mosaic's sequential grouped
+        # reductions cost more than the patch tensor's HBM round-trip.
         patches, pstart = gather_windows(packed, peaks, geom, profile)
         sums = moments_from_patches(patches, pstart, peaks, geom, profile)
     else:
