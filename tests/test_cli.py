@@ -218,6 +218,13 @@ def test_cli_run_live_with_publisher(capsys):
     server.start()
 
     captured = {}
+    # Race-free-enough free port (the capture server uses port=0 + .port;
+    # the CLI only prints its bound port, so reserve one up front instead
+    # of hardcoding — collisions failed the test under parallel CI).
+    import socket
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        pub_port = sk.getsockname()[1]
 
     def snoop():
         # Poll until the CLI's publisher comes up, then read one state.
@@ -226,19 +233,19 @@ def test_cli_run_live_with_publisher(capsys):
             time.sleep(0.05)
             try:
                 s = urllib.request.urlopen(
-                    f"http://127.0.0.1:18293/state", timeout=1).read()
+                    f"http://127.0.0.1:{pub_port}/state", timeout=1).read()
                 captured["state"] = json.loads(s)
                 return
             except Exception:
                 continue
 
-    # The publisher closes with main(), so read the state concurrently on a
-    # fixed port rather than parsing stdout afterwards.
+    # The publisher closes with main(), so read the state concurrently.
     t = threading.Thread(target=snoop)
     t.start()
     try:
         main(["run-live", f"http://127.0.0.1:{server.port}/stream",
-              "--batch", "2", "--max-frames", "4", "--publish", "18293"])
+              "--batch", "2", "--max-frames", "4", "--publish",
+              str(pub_port)])
     finally:
         server.stop()
         t.join(timeout=15)

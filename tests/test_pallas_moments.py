@@ -163,7 +163,61 @@ def test_gather_moments_matches_split_path():
     geom = jax.vmap(cut_geometry)(peaks)
     patches, pstart = gather_windows(packed, peaks, geom, prof)
     s_ref = np.asarray(moments_from_patches(patches, pstart, peaks, geom,
-                                            prof))
+                                            prof, 384))
     s_new = np.asarray(gather_moments(packed, peaks, geom, prof))
     v = np.asarray(peaks.valid)
     np.testing.assert_allclose(s_new[v], s_ref[v], rtol=1e-4, atol=5e-3)
+
+
+def test_gather_path_right_border_peak_matches_xla():
+    """Regression (code review, round 2): a peak within radial_cutoff_px of
+    the RIGHT image border. The lane-rolled 128-column gather windows wrap
+    columns past the image edge to pixels from ~256 columns away, and those
+    wrapped columns carry in-disk coordinates — without the in-image column
+    gate the moment sums silently absorbed garbage (measured: cut count 663
+    vs 1009, area m00 0 vs 211 against window_sums_xla)."""
+    import jax
+
+    from vision_basedsensor_tpu.config import PipelineConfig
+    from vision_basedsensor_tpu.ops.moments import moments_from_patches
+    from vision_basedsensor_tpu.ops.pallas.fields import fused_fields
+    from vision_basedsensor_tpu.ops.pallas.moments import (gather_moments,
+                                                           gather_windows)
+    from vision_basedsensor_tpu.ops.peaks import Peaks
+
+    cfg = PipelineConfig().detect
+    prof = cfg.low_res
+    rng = np.random.default_rng(3)
+    h, w = 240, 384
+    gray = jnp.asarray(rng.integers(0, 256, (1, h, w)), jnp.float32)
+    band = jnp.asarray(rng.random((1, h, w)) > 0.7, jnp.float32)
+    area_open = jnp.asarray(rng.random((1, h, w)) > 0.6, jnp.float32)
+    packed = gray + 256.0 * band + 512.0 * area_open
+
+    k = cfg.max_candidates
+    edge_xy = np.zeros((k, 2), np.float32)
+    # Peaks hugging the right border (and corners), plus one interior.
+    edge_xy[:6] = [[w - 5, h / 2], [w - 1.3, h / 2], [w - 17.5, 40.0],
+                   [w - 5, 1.5], [w - 5, h - 2.0], [w / 2, h / 2]]
+    valid = jnp.arange(k) < 6
+    peaks = Peaks(xy=jnp.asarray(edge_xy), score=jnp.ones(k),
+                  valid=valid)
+    geom = cut_geometry(peaks)
+
+    s_xla = np.asarray(window_sums_xla(band[0], area_open[0], gray[0],
+                                       peaks, geom, prof))
+    bp = jax.tree.map(lambda v: v[None], peaks)
+    bg = jax.tree.map(lambda v: v[None], geom)
+    patches, pstart = gather_windows(packed, bp, bg, prof)
+    s_split = np.asarray(moments_from_patches(patches, pstart, bp, bg,
+                                              prof, w))[0]
+    s_fused = np.asarray(gather_moments(packed, bp, bg, prof))[0]
+
+    v = np.asarray(valid)
+    a = s_xla[v]
+    fin = np.isfinite(a)
+    for name, s_other in (("split", s_split), ("fused", s_fused)):
+        b = s_other[v]
+        np.testing.assert_array_equal(fin, np.isfinite(b), err_msg=name)
+        np.testing.assert_allclose(a[fin], b[fin], rtol=1e-4, atol=5e-3,
+                                   err_msg=name)

@@ -450,21 +450,35 @@ def cmd_bench(args):
 def _enable_compile_cache():
     """Persistent XLA compilation cache shared with bench.py: without it
     every CLI invocation pays the full (remote, minutes-long over the axon
-    tunnel) TPU compile; with it reruns of the same shapes start hot."""
-    try:
-        import jax
+    tunnel) TPU compile; with it reruns of the same shapes start hot.
+
+    Called from the dispatch point AFTER argparse, so ``--help`` and usage
+    errors keep the CLI's deferred-import startup (this jax version ignores
+    the JAX_COMPILATION_CACHE_DIR env var, so jax.config must be set — and
+    every subcommand imports jax anyway). For a checked-out repo the cache
+    sits next to the package (shared with bench.py); for an installed
+    package (site-packages may be read-only) it goes to the user cache
+    dir. Override with VBS_COMPILE_CACHE."""
+    cache = os.environ.get("VBS_COMPILE_CACHE")
+    if cache is None:
         root = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("VBS_COMPILE_CACHE",
-                                         os.path.join(root, ".jax_cache")))
+        if os.path.exists(os.path.join(root, "pyproject.toml")):
+            cache = os.path.join(root, ".jax_cache")
+        else:
+            cache = os.path.join(
+                os.environ.get("XDG_CACHE_HOME",
+                               os.path.expanduser("~/.cache")),
+                "vision_basedsensor_tpu", "jax")
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
 
 def main(argv=None):
-    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="vbs",
                                 description="TPU-native vision-based tactile sensor")
     p.add_argument("--config", help="PipelineConfig JSON file")
@@ -575,6 +589,7 @@ def main(argv=None):
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 

@@ -164,7 +164,7 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
         # vector-issue-bound regime, and Mosaic's sequential grouped
         # reductions cost more than the patch tensor's HBM round-trip.
         patches, pstart = gather_windows(packed, peaks, geom, profile)
-        sums = moments_from_patches(patches, pstart, peaks, geom, profile)
+        sums = moments_from_patches(patches, pstart, peaks, geom, profile, w)
     else:
         ncc_mask = (ncc > cfg.ncc_threshold).astype(jnp.float32)
         # Boundary band of the NCC mask: mask pixels whose band_window

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -37,6 +38,7 @@ class StatePublisher:
         self._lock = threading.Condition()
         self._state: dict | None = None
         self._seq = 0
+        self._running = True
         self._poll_timeout = poll_timeout_s
         publisher = self
 
@@ -62,7 +64,12 @@ class StatePublisher:
                     self.end_headers()
                     self.wfile.write(body)
                 elif u.path == "/state":
-                    after = int(parse_qs(u.query).get("seq", ["-1"])[0])
+                    try:
+                        after = int(parse_qs(u.query).get("seq", ["-1"])[0])
+                    except ValueError:
+                        self._send_json(b'{"error": "seq must be an '
+                                        b'integer"}', 400)
+                        return
                     snap = publisher._wait_newer(after)
                     if snap is None:
                         self._send_json(b'{"error": "no state yet"}', 404)
@@ -73,11 +80,18 @@ class StatePublisher:
                     self.send_header("Content-Type", "text/event-stream")
                     self.send_header("Cache-Control", "no-cache")
                     self.end_headers()
-                    last = -1
+                    # seq starts at 1, so waiting for "newer than 0" blocks
+                    # until the first update instead of spinning.
+                    last = 0
                     try:
                         while True:
                             snap = publisher._wait_newer(last)
                             if snap is None:
+                                # Timed out with nothing newer: SSE comment
+                                # as keep-alive (clients ignore it; a dead
+                                # socket raises here and ends the thread).
+                                self.wfile.write(b": keepalive\n\n")
+                                self.wfile.flush()
                                 continue
                             last = snap["seq"]
                             self.wfile.write(
@@ -96,11 +110,21 @@ class StatePublisher:
         self._thread.start()
 
     def _wait_newer(self, after_seq: int) -> dict | None:
+        """Return the newest state strictly newer than ``after_seq``, or
+        None on timeout. ``after_seq < 0`` never blocks (plain GET /state:
+        latest or None). Condition waits loop until the predicate holds —
+        a timed-out or spuriously-woken wait must NOT hand back a state
+        the caller already has (that produced duplicate SSE events)."""
         with self._lock:
-            if self._seq <= max(after_seq, 0) and after_seq >= 0:
-                self._lock.wait(timeout=self._poll_timeout)
-            if self._state is None:
-                return None
+            if after_seq < 0:
+                return None if self._state is None \
+                    else dict(self._state, seq=self._seq)
+            deadline = time.monotonic() + self._poll_timeout
+            while self._state is None or self._seq <= after_seq:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._running:
+                    return None
+                self._lock.wait(timeout=remaining)
             return dict(self._state, seq=self._seq)
 
     def update(self, state: dict) -> None:
@@ -111,11 +135,12 @@ class StatePublisher:
             self._lock.notify_all()
 
     def close(self) -> None:
+        with self._lock:       # release long-pollers before shutdown
+            self._running = False
+            self._lock.notify_all()
         self._server.shutdown()
         self._server.server_close()
         self._thread.join(timeout=5.0)
-        with self._lock:       # release any stuck long-pollers
-            self._lock.notify_all()
 
 
 def contact_state_payload(state, frame_index: int,

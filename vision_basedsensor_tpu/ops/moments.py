@@ -138,7 +138,7 @@ def unpack_packed_field(packed: jnp.ndarray):
 
 def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
                          peaks: Peaks, geom: CutGeometry,
-                         profile: DetectProfile) -> jnp.ndarray:
+                         profile: DetectProfile, width: int) -> jnp.ndarray:
     """Batched moment sums from pre-gathered packed-field windows.
 
     ``patches`` ``(..., K, R, C)`` are aligned windows of the packed field
@@ -148,6 +148,15 @@ def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
     per-peak accumulate loop was vector-issue-bound (measured 68 us/frame ->
     see gather kernel docstring). Output layout identical to
     :func:`window_sums_xla`.
+
+    ``width`` is the source image width: the rolled windows are wider than
+    the clipped patch (C=128 > patch_size), so for a peak near the RIGHT
+    border, columns past ``width`` hold wrapped garbage whose coordinates
+    can still fall inside the cutoff disk — they must be excluded by
+    coordinate, exactly like the XLA patch (which physically ends at the
+    border) excludes them. Rows never overflow (the 8-aligned row start's
+    slack stays inside [0, H)), and the patch start clip keeps columns
+    >= 0, so the right edge is the only exposure.
     """
     r_, c_ = patches.shape[-2:]
     f = jnp.float32
@@ -156,7 +165,10 @@ def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
     dy = (start[..., 1, None].astype(f) - peaks.xy[..., 1, None]
           + jnp.arange(r_, dtype=f))[..., :, None]           # (..., K, R, 1)
 
-    keep = (dx * dx + dy * dy) <= profile.radial_cutoff_px ** 2
+    in_image = (start[..., 0, None].astype(f)
+                + jnp.arange(c_, dtype=f)) < float(width)    # (..., K, C)
+    keep = ((dx * dx + dy * dy) <= profile.radial_cutoff_px ** 2) \
+        & in_image[..., None, :]
     rhs = jnp.minimum(geom.rhs, 3e38)
     for j in range(3):
         keep = keep & ((dx * geom.ex[..., j, None, None]

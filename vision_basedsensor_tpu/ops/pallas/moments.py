@@ -433,7 +433,8 @@ def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
 def _gather_moments_kernel(start_ref, peak_ref, geom_ref, params_ref,
                            packed_hbm, out_ref, blockp, blockw, rows, sems,
                            *, rows_block: int, cols_block: int, p: int,
-                           cutoff: float, soft_floor: float, n_slots: int):
+                           width: int, cutoff: float, soft_floor: float,
+                           n_slots: int):
     """Gather + reduce in one kernel: every peak's rolled ``(p, 128)`` window
     lands in a contiguous ``(K*p, 128)`` VMEM block, then ALL moment sums
     compute vectorized over the whole block — the per-peak serial work is
@@ -487,7 +488,11 @@ def _gather_moments_kernel(start_ref, peak_ref, geom_ref, params_ref,
         # piece that cannot run batched (no per-group scalar spread lowers).
         dx = col2 + (start_ref[0, k, 0].astype(f32) - peak_ref[0, k, 0])
         dy = row2 + (start_ref[0, k, 3].astype(f32) - peak_ref[0, k, 1])
-        keep = (dx * dx + dy * dy) <= cutoff * cutoff
+        # Columns past the image's right edge hold rolled-wrap garbage with
+        # in-disk coordinates — exclude by coordinate (moments_from_patches
+        # does the same for the split path).
+        keep = (col2 < jnp.float32(width) - start_ref[0, k, 0].astype(f32)) \
+            & ((dx * dx + dy * dy) <= cutoff * cutoff)
         for j in range(3):
             keep = keep & ((dx * geom_ref[0, k, 3 * j]
                             + dy * geom_ref[0, k, 3 * j + 1])
@@ -507,10 +512,11 @@ def _gather_moments_kernel(start_ref, peak_ref, geom_ref, params_ref,
     blk = blockp[...]
     pr = params_ref[0]
     kp, c = blk.shape
-    dx = jax.lax.broadcasted_iota(jnp.int32, (kp, c), 1).astype(f32) \
-        + pr[:, 0:1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kp, c), 1).astype(f32)
+    dx = lane + pr[:, 0:1]
     dy = pr[:, 1:2] + jnp.zeros((kp, c), f32)
-    keep = (dx * dx + dy * dy) <= cutoff * cutoff
+    keep = (lane < pr[:, 11:12]) \
+        & ((dx * dx + dy * dy) <= cutoff * cutoff)
     for j in range(3):
         keep = keep & ((dx * pr[:, 2 + 3 * j:3 + 3 * j]
                         + dy * pr[:, 3 + 3 * j:4 + 3 * j])
@@ -586,13 +592,16 @@ def gather_moments(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
         [cx.astype(jnp.float32)[..., None] - peaks.xy[..., 0:1]]
         + [jnp.stack([geom.ex[..., j], geom.ey[..., j], rhs[..., j]], -1)
            for j in range(3)], axis=-1)                     # (B, K, 10)
-    rep = jnp.repeat(per_peak, p, axis=-2)                  # (B, K*p, 10)
+    per_peak = jnp.concatenate(
+        [per_peak, jnp.float32(w) - cx.astype(jnp.float32)[..., None]],
+        axis=-1)                                            # + in-image bound
+    rep = jnp.repeat(per_peak, p, axis=-2)                  # (B, K*p, 11)
     params = jnp.concatenate(
         [rep[..., 0:1], dy_full.reshape(b_frames, k * p, 1),
-         rep[..., 1:]], axis=-1).astype(jnp.float32)        # (B, K*p, 11)
+         rep[..., 1:]], axis=-1).astype(jnp.float32)        # (B, K*p, 12)
 
     kern = functools.partial(_gather_moments_kernel, rows_block=rows_block,
-                             cols_block=cols_block, p=p,
+                             cols_block=cols_block, p=p, width=w,
                              cutoff=float(profile.radial_cutoff_px),
                              soft_floor=float(profile.soft_floor),
                              n_slots=n_slots)
@@ -607,7 +616,7 @@ def gather_moments(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
                          memory_space=pltpu.SMEM),   # peak xy
             pl.BlockSpec((1, k, 9), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),   # geom
-            pl.BlockSpec((1, k * p, 11), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, k * p, 12), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),   # per-row params
             pl.BlockSpec(memory_space=pl.ANY),       # packed (B, H, W)
         ],
