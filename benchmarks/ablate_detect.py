@@ -84,7 +84,7 @@ def main(batch: int = 256, iters: int = 6):
         packed, peaks = _to_peaks(gray)
         geom = jax.vmap(cut_geometry)(peaks)
         patches, pstart = gather_windows(packed, peaks, geom, prof)
-        sums = moments_from_patches(patches, pstart, peaks, geom, prof)
+        sums = moments_from_patches(patches, pstart, peaks, geom, prof, w)
         return sums.sum()
 
     def s6(gray):

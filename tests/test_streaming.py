@@ -197,3 +197,57 @@ def test_contact_state_payload_schema():
     assert len(p["plane"]) == 3 and len(p["mean_vector_mm"]) == 3
     json_ok = __import__("json").dumps(p)
     assert "tilt_deg" in json_ok
+
+
+def test_state_publisher_close_ends_sse_and_longpoll_timeout_returns_current():
+    """Review findings (round 2): (a) close() while an SSE client is
+    connected must END the stream, not busy-spin keepalives; (b) a
+    /state?seq=N long-poll that times out with no NEWER state returns the
+    CURRENT state (same seq), not 404 — 404 means "no state at all"."""
+    import json
+    import socket
+    import time
+    import urllib.request
+
+    from vision_basedsensor_tpu.io.publish import StatePublisher
+
+    pub = StatePublisher(port=0, poll_timeout_s=0.3)
+    base = f"http://127.0.0.1:{pub.port}"
+    try:
+        pub.update({"tilt_deg": 1.0})
+        # (b) long-poll for newer-than-current times out -> current state.
+        t0 = time.monotonic()
+        s = json.loads(urllib.request.urlopen(f"{base}/state?seq=1",
+                                              timeout=5).read())
+        assert s["seq"] == 1 and time.monotonic() - t0 >= 0.25
+        # Malformed seq -> 400, connection intact.
+        try:
+            urllib.request.urlopen(f"{base}/state?seq=abc", timeout=5)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # (a) open an SSE stream, then close the publisher.
+        sk = socket.create_connection(("127.0.0.1", pub.port), timeout=5)
+        sk.sendall(b"GET /events HTTP/1.1\r\nHost: x\r\n\r\n")
+        sk.settimeout(2.0)
+        first = b""
+        while b"data: " not in first:   # headers, then the first data event
+            chunk = sk.recv(65536)
+            assert chunk, "SSE stream closed before first event"
+            first += chunk
+    finally:
+        pub.close()
+    # After close the stream must END (EOF), not flood keepalives.
+    got = b""
+    deadline = time.monotonic() + 3.0
+    while time.monotonic() < deadline:
+        try:
+            chunk = sk.recv(65536)
+        except TimeoutError:
+            break
+        if not chunk:
+            break               # clean EOF
+        got += chunk
+        assert len(got) < 64 * 1024, "publisher floods after close()"
+    sk.close()

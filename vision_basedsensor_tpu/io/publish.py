@@ -71,6 +71,11 @@ class StatePublisher:
                                         b'integer"}', 400)
                         return
                     snap = publisher._wait_newer(after)
+                    if snap is None and after >= 0:
+                        # Long-poll timed out with nothing newer: return the
+                        # current state (same seq — the client sees nothing
+                        # changed), NOT 404, which means "no state at all".
+                        snap = publisher._wait_newer(-1)
                     if snap is None:
                         self._send_json(b'{"error": "no state yet"}', 404)
                     else:
@@ -84,9 +89,11 @@ class StatePublisher:
                     # until the first update instead of spinning.
                     last = 0
                     try:
-                        while True:
+                        while publisher._running:
                             snap = publisher._wait_newer(last)
                             if snap is None:
+                                if not publisher._running:
+                                    break  # close(): end the stream
                                 # Timed out with nothing newer: SSE comment
                                 # as keep-alive (clients ignore it; a dead
                                 # socket raises here and ends the thread).
