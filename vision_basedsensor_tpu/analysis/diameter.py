@@ -9,10 +9,16 @@ circularity gates (:113-144). Fixed-shape redesign:
   on device; an explicit threshold can still be passed, and ``cli diameter
   --interactive`` reproduces the reference's cv2 trackbar picker when a
   display is available (``cli/main.py:select_threshold_interactive``);
-* contours + ``minEnclosingCircle`` become windowed mask moments around blob
-  peaks: area = m00, perimeter ~ boundary-band pixel count, circularity =
-  4 pi A / P^2, and the enclosing-circle diameter = 2 max distance from the
-  centroid to a masked pixel inside the window.
+* contours + ``minEnclosingCircle`` become fixed-shape component moments:
+  each blob peak's window is restricted to the CONNECTED COMPONENT
+  containing the peak (iterative morphological reconstruction — other dark
+  objects in the window, like chessboard squares, must not contaminate the
+  measurement); area = m00, perimeter = boundary-pixel count (calibrated
+  0.75x cv2's contour metric on rasterized blobs), circularity =
+  4 pi A / P^2, enclosing-circle diameter = 2 max distance from the
+  centroid to a component pixel; components touching the window border are
+  rejected rather than mismeasured (the reference's global contours are
+  never truncated).
 """
 from __future__ import annotations
 
@@ -94,8 +100,31 @@ def measure_diameters(image: jnp.ndarray, scale_px_per_mm: float,
     m_patch, start = extract_patches(mask, peaks.xy, patch)
     gx, gy = patch_coords(start, patch)
 
+    # Restrict each patch to the CONNECTED COMPONENT containing its peak
+    # (morphological reconstruction: dilate the seed inside the mask until
+    # it stops growing — patch/2 iterations reach any pixel of the
+    # component). The reference's findContours measured exactly one
+    # component; raw windowed sums would absorb any other dark object in
+    # the window (a neighboring marker or a chessboard square — the
+    # validation photo contains both), inflating area and the enclosing
+    # radius.
+    px = jnp.clip(jnp.round(peaks.xy[:, 0]).astype(jnp.int32)
+                  - start[:, 0].astype(jnp.int32), 0, patch - 1)
+    py = jnp.clip(jnp.round(peaks.xy[:, 1]).astype(jnp.int32)
+                  - start[:, 1].astype(jnp.int32), 0, patch - 1)
+    k = m_patch.shape[0]
+    seed = jnp.zeros_like(m_patch).at[jnp.arange(k), py, px].set(1.0)
+    seed = seed * m_patch
+
+    def grow(_, s):
+        d = jax.lax.reduce_window(s, -jnp.inf, jax.lax.max, (1, 3, 3),
+                                  (1, 1, 1), "SAME")
+        return d * m_patch
+
+    comp = jax.lax.fori_loop(0, patch // 2, grow, seed)
+
     flat = lambda v: v.reshape(-1, patch * patch)
-    w = flat(m_patch)
+    w = flat(comp)
     area = w.sum(-1)
     tot = jnp.maximum(area, 1e-9)
     cx = (w * flat(gx)).sum(-1) / tot
@@ -108,15 +137,33 @@ def measure_diameters(image: jnp.ndarray, scale_px_per_mm: float,
     # minEnclosingCircle circumscribes pixel corners: compensate +0.5 px.
     diameter_px = 2.0 * (r_enc + 0.5)
 
-    # Circularity: the reference uses 4*pi*A/P^2 from the contour polygon; a
-    # fixed-shape analog with the same [0, 1] semantics (1.0 = perfect
-    # circle) is the equivalent-area/enclosing-circle ratio (A/pi)/r_enc^2
-    # (= b/a for an ellipse, vs ~sqrt(b/a) for the polygon formula — both
-    # reject elongated blobs at the 0.85 gate).
-    circ = (area / jnp.pi) / jnp.maximum(r_enc, 1e-9) ** 2
+    # Circularity: the reference gates 4*pi*A/P^2 on the contour polygon
+    # (DiameterValidation.py:131). The fixed-shape analog measures P by the
+    # component's boundary-pixel count (comp minus its 3x3 erosion); the
+    # count runs ~1.16x cv2.arcLength on rasterized blobs, so the metric
+    # reads ~0.75x cv2's on the same shape (measured on digital circles
+    # r=8..25: boundary-metric 0.64-0.69 vs cv2-metric 0.80-0.87). The
+    # configured ``min_circularity`` keeps the reference's cv2 scale and is
+    # mapped by that calibration — crucially this metric family (unlike an
+    # enclosing-circle fill ratio) penalizes the long pinched boundary of
+    # MERGED blobs, which the validation photo's dense layout produces.
+    er = jax.lax.reduce_window(comp, jnp.inf, jax.lax.min, (1, 3, 3),
+                               (1, 1, 1), "SAME")
+    boundary = (comp - er).reshape(-1, patch * patch).sum(-1)
+    circ = 4.0 * jnp.pi * area / jnp.maximum(boundary, 1.0) ** 2
+
+    # A component touching the patch border extends beyond the window —
+    # its in-window area/perimeter/radius are truncated and meaningless
+    # (a clipped merged-blob pair can even look compact). The reference's
+    # global findContours never truncates, so such blobs must be rejected,
+    # not mismeasured.
+    edge = jnp.zeros((patch, patch), comp.dtype)
+    edge = edge.at[0, :].set(1).at[-1, :].set(1).at[:, 0].set(1).at[:, -1].set(1)
+    touches = (comp * edge[None]).reshape(-1, patch * patch).sum(-1) > 0
 
     diameters_mm = diameter_px / scale_px_per_mm + diameter_offset_mm
-    valid = (peaks.valid & (area >= min_area_px) & (circ >= min_circularity))
+    valid = (peaks.valid & (area >= min_area_px) & ~touches
+             & (circ >= 0.75 * min_circularity))
     return DiameterMeasurement(
         centers=jnp.stack([cx, cy], -1), diameters_mm=diameters_mm,
         circularity=circ, area_px=area, valid=valid)

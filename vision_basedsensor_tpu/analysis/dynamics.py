@@ -44,7 +44,11 @@ def moving_average(x: jnp.ndarray, window: int) -> jnp.ndarray:
     den = jnp.convolve(jnp.ones_like(x), k, mode="same")
     y = num / den
     num2 = jnp.convolve(y[::-1], k, mode="same")
-    return (num2 / den[::-1])[::-1]
+    # The backward pass's coverage at position j is den[j] — coverage is a
+    # function of position for ANY same-mode convolution of this length —
+    # not den[::-1] (which mis-scales the edges for even windows, where
+    # "same" centering makes den asymmetric).
+    return (num2 / den)[::-1]
 
 
 def contact_signal(recon: Reconstruction, component: str = "z",

@@ -58,8 +58,7 @@ def contact_state_sequence(recon: Reconstruction, cfg: AnalysisConfig,
     valid = recon.seen
     plane = fit_plane(end, valid)
     mean_vec = masked_mean(disp, valid[..., None], axis=-2)
-    mean_mag = masked_mean(jnp.linalg.norm(recon.from_first, axis=-1), valid,
-                           axis=-1)
+    mean_mag = masked_mean(recon.from_first_norm, valid, axis=-1)
     return ContactState(tilt_deg=plane.tilt_deg, plane=plane,
                         mean_vector=mean_vec, mean_magnitude=mean_mag,
                         valid=valid.sum(-1) >= 3)

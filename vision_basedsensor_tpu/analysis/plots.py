@@ -45,6 +45,16 @@ def plot_deviation_field(result, path: str, initial_mode: str = "plane",
     plt = _mpl()
     dev = np.asarray(result.deviation)
     ok = np.asarray(result.valid)
+    if not ok.any():
+        # No common markers (e.g. disjoint vert/tilt id sets): emit an
+        # explanatory figure instead of crashing on empty reductions after
+        # all the compute already succeeded.
+        fig = plt.figure(figsize=(6, 4))
+        fig.text(0.5, 0.5, "no valid deviation vectors", ha="center",
+                 va="center")
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        return
     table = layout.dome_layout()
     x0, y0 = table[:, 1], table[:, 2]
     z0 = table[:, 3] if initial_mode == "shell" else np.zeros_like(x0)

@@ -28,9 +28,11 @@ def displacement_statistics(recon: Reconstruction) -> DisplacementStats:
     m = recon.step_valid
     mean = masked_mean(recon.step_norm, m, axis=0)
     var = masked_mean((recon.step_norm - mean[None, :]) ** 2, m, axis=0)
-    # Bessel correction to match pandas' default std (ddof=1).
+    # Bessel correction to match pandas' default std (ddof=1), including
+    # its NaN for a single observation (n-1 = 0), where clamping the
+    # denominator silently produced 0.0.
     n = m.sum(axis=0)
-    var = var * n / jnp.maximum(n - 1, 1)
+    var = jnp.where(n >= 2, var * n / jnp.maximum(n - 1, 1), jnp.nan)
     mx = jnp.max(jnp.where(m, recon.step_norm, -jnp.inf), axis=0)
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
     return DisplacementStats(

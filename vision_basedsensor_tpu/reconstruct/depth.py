@@ -47,7 +47,13 @@ def reconstruct_positions(cam: CameraModel, uv: jnp.ndarray,
     Returns (world positions ``(..., 3)``, updated validity).
     """
     diameter_px = axes_px[..., 0]
-    uv_u = cam_mod.undistort_points(cam, uv, iters=cfg.undistort_iters)
+    # One undistortion fixed point serves both consumers: pixel-space
+    # centers for back-projection and (below) normalized coords for the
+    # distortion-magnification Jacobian — the 5-iteration Newton loop is
+    # the stage's hot op and used to run twice.
+    xy_n = cam_mod.undistort_points(cam, uv, iters=cfg.undistort_iters,
+                                    to_pixels=False)
+    uv_u = cam_mod.normalized_to_pixel(cam, xy_n)
     ok = valid & (diameter_px >= cfg.min_marker_size_px)
     if cfg.max_axis_ratio is not None:
         ratio = diameter_px / jnp.maximum(axes_px[..., 1], 1e-6)
@@ -61,8 +67,6 @@ def reconstruct_positions(cam: CameraModel, uv: jnp.ndarray,
         # each diameter by the local isotropic magnification of the
         # distortion map, sqrt(|det d(distorted)/d(undistorted)|), evaluated
         # at the undistorted point via autodiff.
-        xy_n = cam_mod.undistort_points(cam, uv, iters=cfg.undistort_iters,
-                                        to_pixels=False)
         jac = jax.vmap(jax.jacfwd(lambda p: cam_mod.distort_normalized(cam, p)))(
             xy_n.reshape(-1, 2))
         det = jnp.abs(jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0])

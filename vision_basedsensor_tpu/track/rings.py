@@ -170,21 +170,26 @@ def assign_identities(det: Detections, cfg: TrackConfig) -> ReferenceMarkers:
     slot = jnp.mod(slot, counts[r])
     marker_id = jnp.where(r == 0, 1, bases[r] + slot)
 
-    # Scatter detections into the 65 canonical slots. Writing in ascending
-    # score order lets the strongest detection win id collisions.
-    order = jnp.argsort(det.score)
-    idx = jnp.where(mask[order], marker_id[order] - 1, layout.NUM_MARKERS)
+    # One winner per canonical slot, chosen EXPLICITLY: XLA leaves the
+    # update order of scatters with duplicate indices unspecified, so the
+    # previous "write in ascending score order" scatter neither guaranteed
+    # that the strongest detection wins an id collision nor that all five
+    # output fields came from the same detection. A (65, K) match matrix +
+    # per-slot argmax is deterministic (ties -> lowest detection index) and
+    # atomically selects one source detection for every field.
+    slots = marker_id - 1                                     # (K,)
+    match = (jnp.arange(layout.NUM_MARKERS)[:, None] == slots[None, :]) \
+        & mask[None, :]
+    score_m = jnp.where(match, det.score[None, :], -jnp.inf)
+    winner = jnp.argmax(score_m, axis=1)                      # (65,)
+    occupied = jnp.any(match, axis=1)
 
-    def scatter(src, width):
-        buf = jnp.zeros((layout.NUM_MARKERS + 1, width), src.dtype)
-        return buf.at[idx].set(src[order].reshape(-1, width))[:layout.NUM_MARKERS]
+    def take(src):
+        v = src[winner]
+        keep = occupied.reshape((-1,) + (1,) * (v.ndim - 1))
+        return jnp.where(keep, v, jnp.zeros_like(v))
 
-    out_xy = scatter(xy, 2)
-    out_axes = scatter(det.axes, 2)
-    out_angle = scatter(det.angle[:, None], 1)[:, 0]
-    out_ring = scatter(ring[:, None].astype(jnp.float32), 1)[:, 0].astype(jnp.int32)
-    occupied = jnp.zeros(layout.NUM_MARKERS + 1, bool).at[idx].set(
-        mask[order])[:layout.NUM_MARKERS]
-
-    return ReferenceMarkers(xy=out_xy, axes=out_axes, angle=out_angle,
-                            ring=out_ring, valid=occupied)
+    return ReferenceMarkers(xy=take(xy), axes=take(det.axes),
+                            angle=take(det.angle),
+                            ring=jnp.where(occupied, ring[winner], 0),
+                            valid=occupied)
