@@ -154,3 +154,25 @@ def test_mjpeg_avi_source_rejects_non_mjpeg(tmp_path):
     vw.close()
     with pytest.raises(ValueError):
         MjpegAviSource(path)
+
+
+def test_device_feed_propagates_source_errors():
+    """Review finding (round 2): a source error that killed the prefetch
+    thread previously re-yielded the LAST batch (double-processing) and
+    ended the stream cleanly. The error must surface in the consumer."""
+    import numpy as np
+    import pytest
+
+    from vision_basedsensor_tpu.io.video import device_feed
+
+    class FlakySource:
+        def batches(self, batch_size):
+            yield np.zeros((2, 8, 8), np.uint8)
+            yield np.ones((2, 8, 8), np.uint8)
+            raise ValueError("JPEG batch decode failed")
+
+    got = []
+    with pytest.raises(ValueError, match="decode failed"):
+        for b in device_feed(FlakySource(), 2):
+            got.append(np.asarray(b).mean())
+    assert got == [0.0, 1.0], got  # each batch exactly once, then the error

@@ -70,3 +70,41 @@ def test_thumbnail_jpeg_survives_parsing(with_length):
         # Full frame decoded (not the truncated-at-thumbnail garbage).
         assert f.shape == ref.shape
         np.testing.assert_array_equal(f, ref)
+
+
+def test_boundary_param_with_leading_dashes_normalized():
+    """Review finding (round 2): IP cameras that (nonconformingly) include
+    the leading dashes in the Content-Type boundary param made the parser
+    search for '----x' while the stream delimits with '--x' — never
+    matching, growing the buffer without bound. The param is normalized."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    jpeg, img = _jpeg_with_thumbnail()
+    part = (b"--frameboundary\r\n"
+            b"Content-Type: image/jpeg\r\n"
+            + f"Content-Length: {len(jpeg)}\r\n\r\n".encode()
+            + jpeg + b"\r\n")
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header(
+                "Content-Type",
+                "multipart/x-mixed-replace; boundary=--frameboundary")
+            self.end_headers()
+            self.wfile.write(part * 2)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        frames = list(iter_mjpeg(
+            f"http://127.0.0.1:{srv.server_address[1]}/", max_frames=2))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert len(frames) == 2
+    assert frames[0].shape == img.shape

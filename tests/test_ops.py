@@ -97,3 +97,19 @@ def test_ncc_binary_shortcut_exact(rng):
     a = np.asarray(normxcorr_gaussian(jnp.asarray(mask), 33, 7.4))
     b = np.asarray(normxcorr_gaussian(jnp.asarray(mask), 33, 7.4, binary_input=True))
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_cut_geometry_small_candidate_sets():
+    """Review finding (round 2): top_k(k=3) crashed at trace time for
+    max_candidates < 4. Missing halfplanes must be disabled instead."""
+    from vision_basedsensor_tpu.ops.moments import cut_geometry
+    from vision_basedsensor_tpu.ops.peaks import Peaks
+
+    for k in (1, 2, 3):
+        pk = Peaks(xy=jnp.asarray(np.random.default_rng(0).random((k, 2)) * 50,
+                                  jnp.float32),
+                   score=jnp.ones(k), valid=jnp.ones(k, bool))
+        geom = cut_geometry(pk)
+        assert geom.rhs.shape == (k, 3)
+        # Slots beyond the k-1 possible neighbors are disabled.
+        assert bool(jnp.all(jnp.isinf(geom.rhs[:, k - 1:])))

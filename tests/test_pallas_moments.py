@@ -18,9 +18,12 @@ from vision_basedsensor_tpu.synth import default_scene, render_frames
 
 @pytest.fixture(scope="module")
 def fields():
+    # W must be lane-aligned (the kernels now REJECT unaligned widths —
+    # the DMA alignment hints would be false on real hardware; the old
+    # 320-wide fixture only worked because interpret mode has no Mosaic).
     cfg = DetectConfig()
     prof = cfg.low_res
-    scene = default_scene(240, 320)
+    scene = default_scene(240, 384)
     frame = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))[0]
     gray = to_grayscale(frame)
     area = dog_area_mask(gray, prof, cfg.dog_offset)

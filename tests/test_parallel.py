@@ -157,3 +157,65 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_sequential_association_matches_single_device(setup):
+    """Review finding (round 2): the sharded pipeline silently ignored
+    association_mode='sequential' (frame-0 gating instead of last-sighting)
+    — a config that changes results. Now the small candidate table is
+    replicated (like the displacement scan) and the same scan runs on every
+    device; outputs must match run_video with the identical config."""
+    import dataclasses
+
+    from vision_basedsensor_tpu.config import TrackConfig
+    from vision_basedsensor_tpu.pipeline import run_video
+
+    cfg0, scene, frames, ref = setup
+    cfg = dataclasses.replace(cfg0,
+                              track=TrackConfig(association_mode="sequential"))
+    mesh = make_mesh(jax.devices()[:8])
+    step = make_sharded_pipeline(mesh, scene.cam, cfg)
+    out = step(shard_frames(frames, mesh), jax.device_put(ref))
+
+    base = process_frames(frames, ref, scene.cam, cfg)
+    np.testing.assert_array_equal(np.asarray(out.recon.seen),
+                                  np.asarray(base.recon.seen))
+    np.testing.assert_allclose(np.asarray(out.recon.world),
+                               np.asarray(base.recon.world), atol=1e-4)
+
+
+def test_sharded_undistort_matches_single_device(setup):
+    """Review finding (round 2): cfg.undistort_frames was silently ignored
+    on the sharded path (detection ran on raw distorted frames). The
+    rectify preprocess + rectified camera now apply exactly as in
+    run_video."""
+    import dataclasses
+
+    from vision_basedsensor_tpu.core.camera import CameraModel
+    from vision_basedsensor_tpu.pipeline import initialize as init_pipe
+    from vision_basedsensor_tpu.pipeline import run_video
+    from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+    cfg0, _, _, _ = setup
+    dist = np.array([-0.15, 0.04, 0.0006, -0.0004, 0.0])
+    scene = default_scene(height=240, width=320, dist=dist)
+    d = jnp.zeros((4, 65, 3), jnp.float32)
+    d = d.at[:, :, 2].add(-0.2 * jnp.arange(4)[:, None])
+    frames = render_frames(scene, d)
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg0, undistort_frames=True)
+
+    base = run_video(frames, scene.cam, cfg, apply_warmup=False)
+    # Same frame-0 prologue as run_video: initialize on rectified frames.
+    from vision_basedsensor_tpu.pipeline import prepare_undistortion
+    rectify_map, _ = prepare_undistortion(scene.cam, 240, 320, cfg, False)
+    ref = initialize(frames[0], cfg, False, rectify_map)
+
+    mesh = make_mesh(jax.devices()[:8])
+    step = make_sharded_pipeline(mesh, scene.cam, cfg)
+    out = step(shard_frames(frames, mesh), jax.device_put(ref))
+    b = frames.shape[0]   # shard_frames zero-pads 4 -> 8; slice back
+    np.testing.assert_array_equal(np.asarray(out.recon.seen)[:b],
+                                  np.asarray(base.recon.seen))
+    np.testing.assert_allclose(np.asarray(out.recon.world)[:b],
+                               np.asarray(base.recon.world), atol=1e-4)

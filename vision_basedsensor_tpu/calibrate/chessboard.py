@@ -196,7 +196,10 @@ def find_chessboard(gray, pattern_size: tuple[int, int],
     thresh = 0.15 * float(jnp.max(resp))
     # Generous budget: board-outline junctions saddle too; order_grid's
     # lattice-window search crops them away.
-    peaks = find_peaks(resp, thresh, 9, n + 64, 6.0)
+    # cell=4: the default 8 px cell reduction merges saddle peaks sharing a
+    # tile, losing corners of small-scale boards that the requested 6 px
+    # separation should resolve (e.g. a distant calibration image).
+    peaks = find_peaks(resp, thresh, 9, n + 64, 6.0, cell=4)
     valid = np.asarray(peaks.valid)
     xy = np.asarray(peaks.xy)[valid]
     score = np.asarray(peaks.score)[valid]

@@ -178,8 +178,15 @@ class CameraHandler:
             return self.frame
         return _encode_jpeg(self._synthetic.read(), self.cfg.jpeg_quality)
 
-    def close(self) -> None:
+    def close(self, capture_thread: "threading.Thread | None" = None) -> None:
+        # cv2.VideoCapture is not thread-safe: release() racing a blocked
+        # read() in the capture thread is undefined behavior (can segfault
+        # the acquisition server on shutdown). Stop the loop, wait for the
+        # thread to leave read() (a read blocks at most ~1/fps), THEN
+        # release.
         self.running = False
+        if capture_thread is not None and capture_thread.is_alive():
+            capture_thread.join(timeout=2.0 + 1.0 / max(1, self.cfg.fps))
         if self._cap is not None:
             self._cap.release()
 
@@ -248,7 +255,8 @@ class StreamingServer:
         self._threads = [t, s]
 
     def stop(self) -> None:
-        self.camera.close()
+        cap_thread = self._threads[0] if self._threads else None
+        self.camera.close(cap_thread)
         self._httpd.shutdown()
         self._httpd.server_close()
 

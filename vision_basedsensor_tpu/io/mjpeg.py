@@ -51,7 +51,12 @@ def iter_mjpeg(url: str, boundary: bytes | None = None,
                 piece = piece.strip()
                 if piece.startswith("boundary="):
                     b = piece[len("boundary="):].strip('"')
-            boundary = b"--" + b.encode()
+            # RFC 2046: the delimiter is "--" + boundary param. Some IP
+            # cameras nonconformingly include the leading dashes IN the
+            # param; normalizing prevents searching for "----x" while the
+            # stream delimits with "--x" (which would never match and grow
+            # buf without bound).
+            boundary = b"--" + b.lstrip("-").encode()
 
         buf = b""
         count = 0

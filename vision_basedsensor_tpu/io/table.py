@@ -37,7 +37,7 @@ def _id_from_row_col(row: np.ndarray, col: np.ndarray) -> np.ndarray:
     relative to the canonical numbering (the reference's angle-index origin
     differs — marker_detection.py:339-344).
     """
-    bases = np.concatenate([[1], 1 + np.cumsum(layout.RING_COUNTS)[:-1]])
+    bases = layout._ring_base_ids()
     counts = np.asarray(layout.RING_COUNTS)
     r = np.clip(row.astype(int), 0, layout.NUM_RINGS)
     return np.where(r == 0, 1, bases[r] + np.mod(col.astype(int), counts[r]))
@@ -52,7 +52,7 @@ def write_tracking_csv(path: str, tracked) -> None:
     valid = _np.asarray(tracked.valid)
     ref_xy = _np.asarray(tracked.ref_xy)
     rings = _np.asarray(tracked.ring)
-    bases = _np.concatenate([[1], 1 + _np.cumsum(layout.RING_COUNTS)[:-1]])
+    bases = layout._ring_base_ids()
 
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
@@ -134,7 +134,7 @@ def write_coords_table(path: str, recon, fmt: str | None = None) -> None:
     ffn = _np.asarray(recon.from_first_norm)
 
     rows = [list(COORDS_3D_COLUMNS)]
-    bases = _np.concatenate([[1], 1 + _np.cumsum(layout.RING_COUNTS)[:-1]])
+    bases = layout._ring_base_ids()
     rings_tab = layout.marker_rings()
     for t in range(world.shape[0]):
         for m in range(world.shape[1]):

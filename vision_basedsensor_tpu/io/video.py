@@ -284,12 +284,19 @@ def device_feed(source: VideoSource, batch_size: int,
     state: dict = {}
 
     def prefetch():
+        # Errors must cross the thread boundary: a decode failure that only
+        # kills the prefetch thread would leave the previous batch in
+        # state["next"], making the consumer yield it TWICE and end the
+        # stream cleanly — silent double-processing instead of an error.
         try:
-            nxt = next(it)
+            nxt, err = next(it), None
         except StopIteration:
-            nxt = None
+            nxt, err = None, None
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            nxt, err = None, e
         with lock:
             state["next"] = nxt
+            state["err"] = err
 
     t = threading.Thread(target=prefetch)
     t.start()
@@ -297,6 +304,9 @@ def device_feed(source: VideoSource, batch_size: int,
         t.join()
         with lock:
             batch = state.get("next")
+            err = state.get("err")
+        if err is not None:
+            raise err
         if batch is None:
             return
         t = threading.Thread(target=prefetch)

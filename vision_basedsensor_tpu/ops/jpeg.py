@@ -84,14 +84,21 @@ class MjpegBatchDecoder:
         import ctypes
         meta = (ctypes.c_int32 * 4)()
         q = (ctypes.c_uint16 * 64)()
-        # Generous block capacity for the probe: 8K x 8K.
-        cap = (8192 // 8) * (8192 // 8)
-        buf = np.empty((cap, 64), np.int16)
-        rc = self._lib.vbs_jpeg_y_coeffs(
-            jpeg, len(jpeg),
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), cap, meta, q)
-        if rc != 0:
-            raise ValueError(f"JPEG parse failed (rc={rc})")
+        # Start with 1080p block capacity and grow on demand — the old
+        # fixed 8Kx8K probe buffer was a 134 MB host allocation per decoder
+        # (significant on the weak single-core hosts this path targets).
+        cap = (1920 // 8) * (1088 // 8)
+        while True:
+            buf = np.empty((cap, 64), np.int16)
+            rc = self._lib.vbs_jpeg_y_coeffs(
+                jpeg, len(jpeg),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), cap,
+                meta, q)
+            if rc == 0:
+                break
+            if cap >= (8192 // 8) ** 2:
+                raise ValueError(f"JPEG parse failed (rc={rc})")
+            cap *= 4
         self._meta = (meta[0], meta[1], meta[2], meta[3])
         self._qtable = np.array(q[:], np.uint16)
 

@@ -69,16 +69,32 @@ class CutGeometry(NamedTuple):
 
 
 def cut_geometry(peaks: Peaks) -> CutGeometry:
-    """Nearest-3-neighbor halfplane parameters for each peak."""
+    """Nearest-3-neighbor halfplane parameters for each peak.
+
+    With fewer than 4 candidate slots there are fewer than 3 possible
+    neighbors; missing halfplanes are disabled (rhs = inf) instead of
+    letting ``top_k(k=3)`` crash at trace time for small ``max_candidates``
+    configs."""
     k = peaks.xy.shape[0]
+    n_hp = min(3, max(k - 1, 0))
+    if n_hp == 0:
+        inf = jnp.full((k, 3), jnp.inf)
+        z = jnp.zeros((k, 3))
+        return CutGeometry(ex=z, ey=z, rhs=inf)
     pd2 = jnp.sum((peaks.xy[:, None, :] - peaks.xy[None, :, :]) ** 2, axis=-1)
     pd2 = jnp.where(jnp.eye(k, dtype=bool) | ~peaks.valid[None, :], jnp.inf, pd2)
-    _, nbr = jax.lax.top_k(-pd2, 3)
+    _, nbr = jax.lax.top_k(-pd2, n_hp)
     nxy = peaks.xy[nbr]
     nok = jnp.isfinite(jnp.take_along_axis(pd2, nbr, axis=1))
     ex = nxy[..., 0] - peaks.xy[:, None, 0]
     ey = nxy[..., 1] - peaks.xy[:, None, 1]
     rhs = jnp.where(nok, 0.5 * (ex * ex + ey * ey), jnp.inf)
+    pad = 3 - n_hp
+    if pad:
+        ex = jnp.pad(ex, ((0, 0), (0, pad)))
+        ey = jnp.pad(ey, ((0, 0), (0, pad)))
+        rhs = jnp.pad(rhs, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        nok = jnp.pad(nok, ((0, 0), (0, pad)))
     return CutGeometry(ex=jnp.where(nok, ex, 0.0), ey=jnp.where(nok, ey, 0.0),
                        rhs=rhs)
 

@@ -171,16 +171,18 @@ def _prep(h: int, w: int, peaks: Peaks, geom: CutGeometry,
     """Shared window/geometry staging for both window-sums kernels: aligned
     DMA start offsets + packed halfplane parameters."""
     p = profile.patch_size
-    # Equivalence with window_sums_xla requires the radial cutoff disk to fit
-    # inside the clipped p x p patch (cutoff <= p/2): then both backends gate
-    # exactly the same in-image pixel set even for border peaks, where the
-    # XLA patch clamps into the image and this kernel's larger aligned window
-    # covers a superset (the cut gate selects the identical subset). Enforced
-    # here; tests/test_pallas_moments.py checks border peaks explicitly.
-    if profile.radial_cutoff_px > p / 2:
+    # Equivalence with window_sums_xla requires the radial cutoff disk to
+    # fit STRICTLY inside the clipped p x p patch: the round-to-int patch
+    # start puts the peak within +-0.5 px of the patch centre, so a pixel
+    # at exactly distance p/2 (just outside the p-wide XLA patch) can still
+    # satisfy d2 <= cutoff^2 in the kernels' aligned windows — measured,
+    # cutoff == p/2 diverges by 1-2 gated pixels per peak. cutoff <=
+    # p/2 - 1 guarantees the disk's integer pixels all land in the patch.
+    # Enforced here; tests/test_pallas_moments.py checks border peaks.
+    if profile.radial_cutoff_px > p / 2 - 1:
         raise ValueError(
             f"radial_cutoff_px ({profile.radial_cutoff_px}) must be <= "
-            f"patch_size/2 ({p / 2}) for backend equivalence")
+            f"patch_size/2 - 1 ({p / 2 - 1}) for backend equivalence")
     half = p // 2
     rows_block = p + 8  # slack so the 8-aligned start still covers the window
     if h < rows_block:
@@ -189,6 +191,13 @@ def _prep(h: int, w: int, peaks: Peaks, geom: CutGeometry,
                          "backend (detect/detector.py falls back automatically)")
     # Columns: a 128-aligned 256-wide window always contains the cutoff disk
     # (disk x-span <= 2*cutoff + 128-alignment slack < 256 for cutoff <= 63).
+    # The DMA offset hints (pl.multiple_of(x0, 128)) are only true when the
+    # image width is lane-aligned; an unaligned width would make Mosaic
+    # assume alignment that doesn't hold and silently corrupt the copies.
+    if w % 128 != 0:
+        raise ValueError(f"window-sums kernels need W % 128 == 0, got {w}; "
+                         "use the XLA backend (the detector falls back "
+                         "automatically)")
     cols_block = 256 if w >= 256 else w
     cx = jnp.clip(jnp.round(peaks.xy[..., 0]).astype(jnp.int32) - half, 0, w - p)
     cy = jnp.clip(jnp.round(peaks.xy[..., 1]).astype(jnp.int32) - half, 0, h - p)

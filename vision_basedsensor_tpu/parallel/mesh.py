@@ -27,10 +27,12 @@ from vision_basedsensor_tpu.config import PipelineConfig
 from vision_basedsensor_tpu.core.camera import CameraModel
 from vision_basedsensor_tpu.core.imaging import crop_frames
 from vision_basedsensor_tpu.detect import detect_markers
-from vision_basedsensor_tpu.pipeline import PipelineOutputs
+from vision_basedsensor_tpu.pipeline import (PipelineOutputs, _preprocess,
+                                             prepare_undistortion)
 from vision_basedsensor_tpu.reconstruct import displacement_scan
+from vision_basedsensor_tpu.track import (ReferenceMarkers, associate,
+                                          associate_sequential)
 from vision_basedsensor_tpu.reconstruct.depth import reconstruct_positions
-from vision_basedsensor_tpu.track import ReferenceMarkers, associate
 
 
 def make_mesh(devices=None, spatial: int = 1) -> Mesh:
@@ -84,20 +86,57 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
     (PipelineOutputs, carry)`` carrying the replicated displacement-scan
     state across chunk boundaries, so a sharded session can checkpoint and
     resume exactly like the single-device StreamingPipeline (io/session.py
-    stores the same carry dict).
+    stores the same carry dict). With ``association_mode='sequential'`` the
+    carry becomes ``(scan_carry, assoc_xy)`` — the last-sighting positions
+    ride along with the displacement state.
+
+    Honors the full PipelineConfig like the single-device pipeline:
+    ``cfg.undistort_frames`` rectifies frames before detection (the map is
+    built at trace time from the static frame shape; reconstruction uses
+    the rectified camera), and ``cfg.track.association_mode='sequential'``
+    runs the last-sighting scan on replicated detections — like the
+    displacement scan, the per-frame candidate table is a few hundred KB,
+    so every device runs the identical scan while the pixel work stays
+    sharded.
     """
     frame_sharding = NamedSharding(mesh, _frame_spec(mesh))
     replicated = NamedSharding(mesh, P())
+    sequential = cfg.track.association_mode == "sequential"
 
-    def _body(frames: jnp.ndarray, ref: ReferenceMarkers, carry):
-        if crop:
-            frames_c = crop_frames(frames, crop_ratios=cfg.crop_ratios)
-        else:
-            frames_c = frames
+    # The rectify map is a host-side numpy precomputation over the static
+    # frame shape (it cannot run inside the jit trace); it is built lazily
+    # on the first call and the jitted step re-built per frame shape.
+    prep_cache: dict = {}
+
+    def _prep_for(shape):
+        if shape not in prep_cache:
+            if cfg.undistort_frames:
+                h, w = shape[1:3]
+                prep_cache[shape] = prepare_undistortion(cam, int(h), int(w),
+                                                         cfg, crop)
+            else:
+                prep_cache[shape] = (None, cam)
+        return prep_cache[shape]
+
+    def _body(frames: jnp.ndarray, ref: ReferenceMarkers, carry, assoc_xy,
+              rectify_map, recon_cam):
+        frames_c = _preprocess(frames, cfg, crop, rectify_map)
         det = detect_markers(frames_c, cfg.detect, axis_scale=ref.axis_scale)
-        tracked = associate(ref, det, cfg.track.min_marker_distance_px)
+        if sequential:
+            # The last-sighting association is a scan over the frame axis;
+            # replicate the small per-frame candidate table (like the
+            # displacement scan below) so every device runs it identically.
+            det = jax.tree.map(
+                lambda v: jax.lax.with_sharding_constraint(v, replicated),
+                det)
+            tracked, assoc_out = associate_sequential(
+                ref, det, cfg.track.min_marker_distance_px,
+                carry_xy=assoc_xy, return_carry=True)
+        else:
+            tracked = associate(ref, det, cfg.track.min_marker_distance_px)
+            assoc_out = assoc_xy
         world, ok = reconstruct_positions(
-            cam, tracked.xy, tracked.axes, tracked.valid,
+            recon_cam, tracked.xy, tracked.axes, tracked.valid,
             cfg.reconstruct)
         if cfg.reconstruct.warmup_frames > 0 and apply_warmup:
             keep = jnp.arange(world.shape[0]) >= cfg.reconstruct.warmup_frames
@@ -113,21 +152,49 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
         contact = contact_state_sequence(recon, cfg.analysis)
         out = PipelineOutputs(detections=det, tracked=tracked, recon=recon,
                               contact=contact)
-        return (out, carry_out) if with_carry else out
+        if not with_carry:
+            return out
+        return (out, (carry_out, assoc_out)) if sequential \
+            else (out, carry_out)
 
-    if with_carry:
-        @functools.partial(jax.jit,
-                           in_shardings=(frame_sharding, replicated, replicated),
-                           donate_argnums=(0,))
-        def step(frames, ref, carry):
-            return _body(frames, ref, carry)
-    else:
-        @functools.partial(jax.jit,
-                           in_shardings=(frame_sharding, replicated),
-                           donate_argnums=(0,))
-        def step(frames, ref):
-            return _body(frames, ref, None)
+    def _make_step(rectify_map, recon_cam):
+        if with_carry and sequential:
+            @functools.partial(jax.jit,
+                               in_shardings=(frame_sharding, replicated,
+                                             replicated, replicated),
+                               donate_argnums=(0,))
+            def jstep(frames, ref, carry, assoc_xy):
+                return _body(frames, ref, carry, assoc_xy, rectify_map,
+                             recon_cam)
+        elif with_carry:
+            @functools.partial(jax.jit,
+                               in_shardings=(frame_sharding, replicated,
+                                             replicated),
+                               donate_argnums=(0,))
+            def jstep(frames, ref, carry):
+                return _body(frames, ref, carry, None, rectify_map, recon_cam)
+        else:
+            @functools.partial(jax.jit,
+                               in_shardings=(frame_sharding, replicated),
+                               donate_argnums=(0,))
+            def jstep(frames, ref):
+                return _body(frames, ref, None, None, rectify_map, recon_cam)
+        return jstep
 
+    step_cache: dict = {}
+
+    def _jitted_for(frames):
+        shape = tuple(frames.shape)
+        if shape not in step_cache:
+            step_cache[shape] = _make_step(*_prep_for(shape))
+        return step_cache[shape]
+
+    def step(frames, *rest):
+        return _jitted_for(frames)(frames, *rest)
+
+    # Expose the shape-resolved jitted function (collective_ops_in_hlo and
+    # AOT users need .lower()).
+    step.jitted_for = _jitted_for
     return step
 
 
@@ -140,6 +207,8 @@ def collective_ops_in_hlo(step, *example_args) -> list[str]:
     all-to-alls, no halo exchanges.
     """
     import re
+    if hasattr(step, "jitted_for"):   # make_sharded_pipeline wrapper
+        step = step.jitted_for(example_args[0])
     text = step.lower(*example_args).compile().as_text()
     pat = re.compile(r"\b(all-gather(?:-start)?|all-reduce(?:-start)?|"
                      r"all-to-all|collective-permute(?:-start)?|"
