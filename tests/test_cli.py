@@ -255,3 +255,30 @@ def test_cli_run_live_with_publisher(capsys):
     st = captured.get("state")
     assert st is not None, "publisher never served a state"
     assert "tilt_deg" in st and st["frames_seen"] >= 2
+
+
+def test_cli_track_annotate_crop_draws_in_cropped_space(video_npy, tmp_path):
+    """Review finding (round 2): --annotate drew tracked (post-crop)
+    coordinates onto the RAW frames, offsetting every overlay by the crop
+    origin. The annotated video must have the cropped geometry."""
+    pytest.importorskip("cv2")
+    import cv2
+
+    from vision_basedsensor_tpu.config import PipelineConfig
+    from vision_basedsensor_tpu.core.imaging import crop_frames
+
+    outdir = str(tmp_path / "res")
+    main(["track", video_npy, "--output-dir", outdir, "--crop", "--annotate"])
+    avi = os.path.join(outdir, "tracked.avi")
+    assert os.path.exists(avi)
+    cap = cv2.VideoCapture(avi)
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap.release()
+    raw = np.load(video_npy)
+    cropped = crop_frames(jnp.asarray(raw),
+                          crop_ratios=PipelineConfig().crop_ratios)
+    ch, cw = cropped.shape[1:3]
+    # Codec may round odd dims down by one; the raw (uncropped) size would
+    # be ~30 px larger, so +-1 still proves the cropped geometry was drawn.
+    assert abs(h - ch) <= 1 and abs(w - cw) <= 1, (h, w, cropped.shape)

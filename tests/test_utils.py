@@ -56,3 +56,24 @@ def test_config_json_roundtrip(tmp_path):
     # Nested defaults preserved.
     assert back.detect.low_res.blur_small_ksize == 21
     assert back.reconstruct.max_step_displacement_mm == 50.0
+
+
+def test_config_partial_nested_override_keeps_profile_defaults():
+    """Review finding (round 2): a partial JSON override of a nested
+    dataclass previously rebuilt it from the CLASS defaults — so
+    {"detect": {"high_res": {"dog_threshold": 25}}} silently reset every
+    other high-res constant to the LOW-res values (blur 21 instead of 39,
+    template 33 instead of 81), degrading >480p detection. Only the present
+    keys may change."""
+    import json
+
+    from vision_basedsensor_tpu.config import PipelineConfig, from_json
+
+    r = from_json(json.dumps({"detect": {"high_res": {"dog_threshold": 25}}}))
+    assert r.detect.high_res.dog_threshold == 25
+    base = PipelineConfig().detect.high_res
+    assert r.detect.high_res.blur_small_ksize == base.blur_small_ksize == 39
+    assert r.detect.high_res.template_size == base.template_size == 81
+    # Untouched siblings keep their defaults too.
+    assert r.detect.low_res.blur_small_ksize == 21
+    assert r.reconstruct.max_axis_ratio == 1.6

@@ -88,10 +88,26 @@ def cmd_track(args):
     if args.annotate:
         from vision_basedsensor_tpu.detect.overlay import draw_tracking
         from vision_basedsensor_tpu.io.video import VideoWriter
-        h, w = frames.shape[1:3]
+        # Tracked coordinates live in the preprocessed (cropped/rectified)
+        # frame space — draw on those frames, not the raw ones, or every
+        # overlay is offset by the crop origin / warped by the rectification
+        # (the reference also annotates the preprocessed frames,
+        # marker_detection.py:434-453).
+        draw_frames = frames
+        if args.crop or cfg.undistort_frames:
+            from vision_basedsensor_tpu.pipeline import (_preprocess,
+                                                         prepare_undistortion)
+            rectify_map = None
+            if cfg.undistort_frames:
+                fh, fw = frames.shape[1:3]
+                rectify_map, _ = prepare_undistortion(cam, int(fh), int(fw),
+                                                      cfg, args.crop)
+            draw_frames = np.asarray(_preprocess(
+                jnp.asarray(frames), cfg, args.crop, rectify_map))
+        h, w = draw_frames.shape[1:3]
         vw = VideoWriter(os.path.join(args.output_dir, "tracked.avi"), 12.0, (w, h))
-        for t in range(frames.shape[0]):
-            vw.write(draw_tracking(frames[t], out.tracked, t))
+        for t in range(draw_frames.shape[0]):
+            vw.write(draw_tracking(draw_frames[t], out.tracked, t))
         vw.close()
         print(f"wrote {os.path.join(args.output_dir, 'tracked.avi')}")
 
@@ -277,7 +293,8 @@ def cmd_tilt(args):
     print(f"-> Mean deviation magnitude: {float(res.mean_magnitude):.4f} mm")
     if args.plot:
         from vision_basedsensor_tpu.analysis.plots import plot_deviation_field
-        plot_deviation_field(res, args.plot, initial_mode=args.mode)
+        plot_deviation_field(res, args.plot, initial_mode=args.mode,
+                             scale=cfg.analysis.deviation_scale)
         print(f"wrote {args.plot}")
 
 
@@ -393,12 +410,21 @@ def cmd_run_live(args):
     from vision_basedsensor_tpu.pipeline import StreamingPipeline
     cfg = _load_cfg(args)
     cam = _camera_from_args(args, (0, cfg.capture.height, cfg.capture.width))
+    calibration = None
+    if getattr(args, "calibration", None):
+        from vision_basedsensor_tpu.calibrate import CalibrationArtifact
+        calibration = CalibrationArtifact.load_json(args.calibration) \
+            if args.calibration.endswith(".json") \
+            else CalibrationArtifact.load_intrinsics_xlsx(args.calibration)
+        if getattr(args, "extrinsics", None):
+            calibration = calibration.load_extrinsics_xlsx(args.extrinsics)
     ref = carry = assoc_xy = None
     if args.resume and os.path.exists(args.resume):
         sess = load_session(args.resume)
         ref, cfg, assoc_xy = sess.ref, sess.config, sess.assoc_xy
         carry = sess.scan_carry or None
         if sess.calibration is not None:
+            calibration = sess.calibration
             cam = sess.calibration.to_camera()
         print(f"resumed session from {args.resume}")
     sp = StreamingPipeline(cam, cfg, ref=ref, carry=carry, assoc_xy=assoc_xy)
@@ -422,12 +448,16 @@ def cmd_run_live(args):
                 pub.update(contact_state_payload(out.contact, -1,
                                                  sp.frames_seen))
     finally:
+        # Stopping an endless stream with Ctrl-C is the NORMAL exit for a
+        # live session — the checkpoint (incl. the calibration, so a
+        # resume does not silently fall back to the nominal camera) must
+        # be written on any exit path, not only clean exhaustion.
         if pub is not None:
             pub.close()
-    if args.resume:
-        save_session(args.resume, sp.ref, cfg, scan_carry=sp.carry,
-                     assoc_xy=sp.assoc_xy)
-        print(f"session saved to {args.resume}")
+        if args.resume and sp.ref is not None:
+            save_session(args.resume, sp.ref, cfg, calibration=calibration,
+                         scan_carry=sp.carry, assoc_xy=sp.assoc_xy)
+            print(f"session saved to {args.resume}")
 
 
 def cmd_serve(args):

@@ -246,10 +246,20 @@ def _from_jsonable(cls: type, data: Any) -> Any:
             if f.name not in data:
                 continue
             val = data[f.name]
-            # Recurse into nested dataclasses based on the default instance.
+            # Recurse into nested dataclasses based on the default INSTANCE,
+            # overlaying only the present keys: rebuilding from the class
+            # would silently reset e.g. a partially-overridden
+            # detect.high_res to DetectProfile's low-res class defaults.
             proto = getattr(cls(), f.name)
             if dataclasses.is_dataclass(proto):
-                kwargs[f.name] = _from_jsonable(type(proto), val)
+                sub = _from_jsonable(type(proto), val)
+                present = set(val.keys()) if isinstance(val, dict) else None
+                if present is not None:
+                    sub = dataclasses.replace(
+                        proto, **{g.name: getattr(sub, g.name)
+                                  for g in dataclasses.fields(type(proto))
+                                  if g.name in present})
+                kwargs[f.name] = sub
             elif isinstance(proto, tuple):
                 kwargs[f.name] = tuple(val)
             else:

@@ -12,6 +12,7 @@ numbers.
 from __future__ import annotations
 
 import re
+import math
 import zipfile
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
@@ -69,7 +70,14 @@ def write_xlsx(path: str, rows: list[list]) -> None:
             if val is None or (isinstance(val, str) and val == ""):
                 continue
             if isinstance(val, (int, float)) and not isinstance(val, bool):
-                parts.append(f'<c r="{ref}"><v>{val!r}</v></c>')
+                # Non-finite floats are not valid xlsx numeric cells
+                # (<v>nan</v> makes Excel/openpyxl reject the file); write
+                # them as inline strings like openpyxl does.
+                if isinstance(val, float) and not math.isfinite(val):
+                    parts.append(f'<c r="{ref}" t="inlineStr"><is>'
+                                 f"<t>{val!r}</t></is></c>")
+                else:
+                    parts.append(f'<c r="{ref}"><v>{val!r}</v></c>')
             else:
                 parts.append(f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
                              f"{escape(str(val))}</t></is></c>")

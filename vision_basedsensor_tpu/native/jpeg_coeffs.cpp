@@ -213,6 +213,9 @@ int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
           const int pq = seg[0] >> 4, tq = seg[0] & 15;
           ++seg;
           if (tq > 3) return -4;
+          // Bounds: a truncated segment must fail cleanly, not read past
+          // the caller's buffer.
+          if (seg + (pq ? 128 : 64) > segend) return -2;
           for (int i = 0; i < 64; ++i) {
             const int v = pq ? rd16(seg + 2 * i) : seg[i];
             qtables[tq][kZigzag[i]] = static_cast<uint16_t>(v);
@@ -222,10 +225,12 @@ int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
         }
         break;
       case 0xC0: {  // SOF0 baseline
+        if (seg + 6 > segend) return -2;
         height = rd16(seg + 1);
         width = rd16(seg + 3);
         ncomp = seg[5];
         if (ncomp != 1 && ncomp != 3) return -5;
+        if (seg + 6 + 3 * ncomp > segend) return -2;
         for (int c = 0; c < ncomp; ++c) {
           comp[c].id = seg[6 + 3 * c];
           comp[c].h = seg[7 + 3 * c] >> 4;
@@ -252,11 +257,14 @@ int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
         }
         break;
       case 0xDD:  // DRI
+        if (seg + 2 > segend) return -2;
         restart_interval = rd16(seg);
         break;
       case 0xDA: {  // SOS — entropy-coded data follows
+        if (seg + 1 > segend) return -2;
         const int ns = seg[0];
         if (ns != ncomp) return -9;  // only interleaved single-scan
+        if (seg + 1 + 2 * ns > segend) return -2;
         for (int s = 0; s < ns; ++s) {
           const int cid = seg[1 + 2 * s];
           for (int c = 0; c < ncomp; ++c) {
@@ -362,7 +370,12 @@ int vbs_mjpeg_batch_y_coeffs(const uint8_t* data, const int64_t* offsets,
                                      blocks_per_frame, i == 0 ? out_meta : meta,
                                      out_qtable + static_cast<size_t>(i) * 64);
     if (rc != 0) return i;
-    if (i > 0 && (meta[2] * meta[3] != out_meta[2] * out_meta[3])) return i;
+    // Full geometry equality: comparing only the block PRODUCT would
+    // accept a mid-stream rotation/reshape (e.g. 640x480 -> 480x640) and
+    // scramble the reassembled frames silently.
+    if (i > 0 && (meta[0] != out_meta[0] || meta[1] != out_meta[1] ||
+                  meta[2] != out_meta[2] || meta[3] != out_meta[3]))
+      return i;
   }
   return n;
 }

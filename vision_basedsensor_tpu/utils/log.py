@@ -24,8 +24,16 @@ def get_logger(name: str, logfile: str | None = None,
         logger.setLevel(level)
         logger.propagate = False
     if logfile:
-        os.makedirs(os.path.dirname(os.path.abspath(logfile)), exist_ok=True)
-        fh = logging.FileHandler(logfile)
-        fh.setFormatter(logging.Formatter(_FORMAT))
-        logger.addHandler(fh)
+        # Dedup like the stream handler: repeated calls with the same
+        # logfile must not stack handlers (N-fold duplicate lines + leaked
+        # file descriptors).
+        path = os.path.abspath(logfile)
+        already = any(isinstance(h, logging.FileHandler)
+                      and getattr(h, "baseFilename", None) == path
+                      for h in logger.handlers)
+        if not already:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fh = logging.FileHandler(path)
+            fh.setFormatter(logging.Formatter(_FORMAT))
+            logger.addHandler(fh)
     return logger

@@ -44,12 +44,19 @@ class StageTimer:
 
 @contextlib.contextmanager
 def trace_annotation(name: str):
-    """XProf trace annotation (no-op if the profiler is unavailable)."""
+    """XProf trace annotation (no-op if the profiler is unavailable).
+
+    Only profiler SETUP failures are swallowed: a bare try around the yield
+    would catch exceptions raised by the annotated body and yield a second
+    time, which contextlib turns into a RuntimeError masking the original
+    error."""
     try:
         import jax.profiler
-        with jax.profiler.TraceAnnotation(name):
-            yield
+        ctx = jax.profiler.TraceAnnotation(name)
     except Exception:
+        yield
+        return
+    with ctx:
         yield
 
 
