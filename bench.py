@@ -106,52 +106,127 @@ def bench_decode_fed(n_frames: int, batch: int) -> dict | None:
                 vw.write(f)
         vw.close()
 
-        # Two ingest backends; report the better sustained number.
+        # Three ingest backends; report the best sustained number.
         # - host_libjpeg: parallel cv2.imdecode -> raw gray frames to device
         #   (wins on multi-core hosts; frame bytes ride the host->TPU link).
-        # - tpu_idct: native C++ entropy decode -> DCT coefficients to
-        #   device -> MXU dequant+IDCT (host does only the serial Huffman
-        #   work; wins when host cores, not the link, are the wall).
+        # - tpu_idct_packed: native C++ entropy decode -> SPARSE packed
+        #   coefficients to device (~25-70 KB/frame) -> prefix-sum expand +
+        #   MXU dequant+IDCT. The host does only the serial Huffman work AND
+        #   the link carries a fraction of the JPEG-scale bytes — built to
+        #   beat both walls of the 1-core/thin-tunnel driver host.
+        # - tpu_idct: same split with the DENSE coefficient tensor
+        #   (614 KB/frame at 480p; kept as the transport ablation).
         def sources():
             yield "host_libjpeg", lambda: MjpegAviSource(path, gray=True)
             try:
                 MjpegAviTpuSource(path)
-                yield "tpu_idct", lambda: MjpegAviTpuSource(path)
+                yield ("tpu_idct_packed",
+                       lambda: MjpegAviTpuSource(path, transport="packed"))
+                yield ("tpu_idct",
+                       lambda: MjpegAviTpuSource(path, transport="dense"))
             except Exception:
                 pass
 
+        import jax.numpy as jnp
+
         results = {}
+        bytes_per_frame = {}
         for backend, make in sources():
             src = make()
+            on_device = backend.startswith("tpu")
             # Decode-only throughput (the ingest ceiling); keep the first
-            # batch for compile/ref.
+            # batch for compile/ref. The acc chain makes every device
+            # batch's execution a data dependency of the final host read —
+            # block_until_ready alone can acknowledge without executing
+            # through the axon relay (benchmarks/ablate_detect.py).
             first = None
+            acc = jnp.float32(0.0)
             t0 = time.perf_counter()
             n_dec = 0
             for b in src.batches(batch):
                 if first is None:
                     first = b
+                if on_device:
+                    acc = acc + b[0, 0, 0] * 1e-30
                 n_dec += b.shape[0]
-            jax.block_until_ready(b) if backend == "tpu_idct" else None
+            float(np.asarray(acc))
             decode_fps = n_dec / (time.perf_counter() - t0)
+            stats = getattr(src, "last_stats", None)
+            if stats:
+                bytes_per_frame[backend] = stats["bytes_shipped"] / stats["frames"]
+            elif not on_device:
+                bytes_per_frame[backend] = 640 * 480  # raw gray frames
 
-            ref = initialize(jax.numpy.asarray(first[0]), cfg)
-            fwd = jax.jit(lambda f, r: process_frames(f, r, scene.cam, cfg))
-            jax.block_until_ready(fwd(jax.numpy.asarray(first), ref))
+            ref = initialize(jnp.asarray(first[0]), cfg)
+            fwd = jax.jit(lambda f, s, r: process_frames(f + 1e-30 * s, r,
+                                                         scene.cam, cfg))
+            jax.block_until_ready(fwd(jnp.asarray(first), acc, ref))
 
+            src = make()
             t0 = time.perf_counter()
             n = 0
             for dev_batch in device_feed(src, batch):
-                out = fwd(dev_batch, ref)
+                out = fwd(dev_batch, acc, ref)
+                acc = out.contact.tilt_deg[-1] * 1e-30
                 n += dev_batch.shape[0]
-            jax.block_until_ready(out)
+            float(np.asarray(acc))  # force the whole chain
             results[backend] = (n / (time.perf_counter() - t0), decode_fps)
 
     best = max(results, key=lambda k: results[k][0])
     return {"sustained_fps": results[best][0],
             "decode_only_fps": results[best][1], "backend": best,
             "all": {k: [round(v[0], 1), round(v[1], 1)]
-                    for k, v in results.items()}}
+                    for k, v in results.items()},
+            "bytes_per_frame": {k: round(v) for k, v in
+                                bytes_per_frame.items()}}
+
+
+def bench_latency(batches=(1, 8, 32), iters: int = 50) -> dict:
+    """Per-request serving latency: host frames -> device -> full pipeline
+    -> contact-state tilt back on host. This is the number the robot-side
+    pose-compensation loop (io/publish.py, README.md:124) actually sees —
+    throughput at B=1024 says nothing about it.
+
+    Measurement discipline (benchmarks/ablate_detect.py): every iteration
+    gets a distinct scalar input folded into the frames below f32 ulp, so
+    the relay can neither dedup identical executions nor skip work — and
+    each iteration ends with a real device->host read of the tilt output,
+    which is exactly the serving round trip.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision_basedsensor_tpu.config import PipelineConfig, ReconstructConfig
+    from vision_basedsensor_tpu.pipeline import initialize, process_frames
+
+    cfg = PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))
+    scene, frames = _render_sequence(max(batches))
+    ref = initialize(frames[0], cfg)
+
+    @jax.jit
+    def step(f, s, r):
+        out = process_frames(f + 1e-30 * s, r, scene.cam, cfg)
+        return out.contact.tilt_deg[-1]
+
+    results = {}
+    for b in batches:
+        fnp = np.asarray(frames[:b])
+        s = float(np.asarray(step(jnp.asarray(fnp), jnp.float32(0.0), ref)))
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            dev = jax.device_put(fnp)
+            s = float(np.asarray(step(dev, jnp.float32(i + s * 1e-6), ref)))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        results[f"b{b}"] = {
+            "p50_ms": round(times[len(times) // 2] * 1e3, 2),
+            "p99_ms": round(times[min(len(times) - 1,
+                                      int(len(times) * 0.99))] * 1e3, 2),
+        }
+    return results
 
 
 def main() -> None:
@@ -169,7 +244,17 @@ def main() -> None:
             "decode_only_fps": round(decode["decode_only_fps"], 1),
             "decode_backend": decode["backend"],
             "backends": decode["all"],
+            "bytes_per_frame": decode["bytes_per_frame"],
         }))
+
+    lat = bench_latency()
+    print(json.dumps({
+        "metric": "serving_latency_ms",
+        "value": lat["b1"]["p50_ms"],
+        "unit": "ms p50 end-to-end at B=1 (host->TPU->detect->pose->host)",
+        "vs_baseline": lat["b1"]["p50_ms"],
+        "latency": lat,
+    }))
 
     fps = bench_compute(batch, iters)
     print(json.dumps({

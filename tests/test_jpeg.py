@@ -103,3 +103,72 @@ def test_tpu_avi_source_matches_host_source(tmp_path):
         for p in np.asarray(det_h.xy)[t][vh[t]]:
             assert np.linalg.norm(np.asarray(det_t.xy)[t][vt[t]] - p,
                                   axis=1).min() < 0.1
+
+
+@pytest.mark.parametrize("quality", [50, 70, 95])
+@pytest.mark.parametrize("shape", [(480, 640), (41, 67)])
+def test_packed_transport_matches_dense(quality, shape):
+    """The sparse (packed) transport must reproduce the dense path BITWISE:
+    same coefficients in, same IDCT math, so identical float frames out."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    jpegs = []
+    for seed in range(3):
+        img = _textured(*shape, seed=seed)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, quality])
+        assert ok
+        jpegs.append(enc.tobytes())
+    dec = MjpegBatchDecoder()
+    dense = np.asarray(dec.decode(jpegs))
+    packed = np.asarray(dec.decode_packed(jpegs))
+    assert (dense == packed).all()
+    stats = dec.last_stats
+    assert stats["transport"] == "packed"
+    # The sparse transport must actually be smaller than dense (the whole
+    # point of the format) at stream-typical qualities. At q95 the noisy
+    # test texture keeps nearly every coefficient, where packed degrades
+    # gracefully to dense + ~7% structure overhead — correctness above
+    # still holds, the byte win does not.
+    if quality <= 70:
+        assert stats["bytes_shipped"] < stats["bytes_dense"]
+
+
+def test_packed_transport_color_420():
+    """4:2:0 color JPEGs exercise the MCU-row staging (two block rows per
+    MCU row must be re-emitted in flat row-major order)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    gray = _textured(120, 160, seed=7)
+    color = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
+    ok, enc = cv2.imencode(".jpg", color, [cv2.IMWRITE_JPEG_QUALITY, 70])
+    ref = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+    dec = MjpegBatchDecoder()
+    packed = np.asarray(dec.decode_packed([enc.tobytes()]))[0]
+    assert np.abs(packed - ref).max() <= 2.0
+
+
+def test_packed_capacity_growth():
+    """Undersized packed streams must grow on the specific capacity rc and
+    converge — not loop or misdecode."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    img = _textured(64, 96, seed=9)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    dec = MjpegBatchDecoder()
+    ref = np.asarray(dec.decode([enc.tobytes()]))
+    dec._mb_cap, dec._val_cap = 8, 8  # force both growth paths
+    out = np.asarray(dec.decode_packed([enc.tobytes()]))
+    assert (out == ref).all()
+
+
+def test_packed_malformed_raises():
+    """A malformed JPEG must raise immediately — no growth retries."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    img = _textured(32, 32)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 70])
+    dec = MjpegBatchDecoder()
+    dec.decode_packed([enc.tobytes()])  # learn geometry
+    bad = enc.tobytes()[:40]  # truncated mid-header
+    with pytest.raises(ValueError):
+        dec.decode_packed([bad, enc.tobytes()])

@@ -222,29 +222,40 @@ class MjpegAviTpuSource(VideoSource):
     back to :class:`MjpegAviSource`.
     """
 
-    def __init__(self, path: str, fps: float = 12.0):
+    def __init__(self, path: str, fps: float = 12.0,
+                 transport: str = "packed"):
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+        if transport not in ("packed", "dense"):
+            raise ValueError(f"transport must be packed|dense, got {transport}")
         with open(path, "rb") as f:
             self._buf = f.read()
         first = next(_iter_avi_video_chunks(self._buf), None)
         if first is None or not first.startswith(b"\xff\xd8"):
             raise ValueError(f"{path}: not an MJPEG AVI")
         self._dec = MjpegBatchDecoder()
+        self._transport = transport
         self._fps = fps
 
     @property
     def fps(self) -> float:
         return self._fps
 
+    @property
+    def last_stats(self) -> dict | None:
+        """Byte accounting of the most recent batch (ops/jpeg.py)."""
+        return self._dec.last_stats
+
     def batches(self, batch_size: int):
+        dec = (self._dec.decode_packed if self._transport == "packed"
+               else self._dec.decode)
         chunks = []
         for c in _iter_avi_video_chunks(self._buf):
             chunks.append(c)
             if len(chunks) == batch_size:
-                yield self._dec.decode(chunks)
+                yield dec(chunks)
                 chunks = []
         if chunks:
-            yield self._dec.decode(chunks)
+            yield dec(chunks)
 
 
 class VideoWriter:

@@ -10,6 +10,24 @@
 // Dequantization, the 8x8 IDCT (two small matmuls), level shift, and block
 // reassembly all run batched on the TPU.
 //
+// Two emission formats, one scan decoder (templated sink):
+//
+//  * DENSE:  int16[blocks * 64], block row-major. 2 bytes/coefficient =
+//    614 KB/frame at 640x480 — 2x the raw gray bytes, so on a bandwidth-
+//    limited host->TPU link this format loses to raw-pixel transport.
+//  * PACKED: quantized luma blocks are overwhelmingly zeros (q70 dark
+//    scenes: ~1-4 nonzeros/block), so ship only structure + nonzeros:
+//      - block_meta: 1 byte per block; bit k set when mask byte k (coeff
+//        positions 8k..8k+7, natural order) has any nonzero
+//      - maskbytes:  the nonzero mask bytes, stream-packed in (frame,
+//        block, byte-index) order
+//      - values:     int16 nonzero coefficients, stream-packed in (frame,
+//        block, natural-position) order
+//    A flat background block (DC only) costs 4 bytes instead of 128; the
+//    worst case adds 9 bytes/block over dense. The TPU expands this with
+//    two rounds of bit-unpack -> exclusive-prefix-sum -> gather
+//    (ops/jpeg.py:unpack_idct_frames) — all dense XLA ops, no scatter.
+//
 // Scope: baseline sequential DCT (SOF0), 8-bit, Huffman, 1 or 3 components,
 // luma sampling factors up to 2x2 with 1x1 chroma (covers libjpeg/cv2
 // MJPG/imencode output and the acquisition server's stream,
@@ -21,6 +39,8 @@
 
 #include <cstdint>
 #include <cstring>
+
+#include <vector>
 
 namespace {
 
@@ -169,22 +189,75 @@ struct Component {
 
 inline int rd16(const uint8_t* p) { return (p[0] << 8) | p[1]; }
 
-}  // namespace
+// Error codes (shared by dense and packed paths; ops/jpeg.py matches on
+// kErrCapacity to grow its probe buffer and on kErrValCap/kErrMaskCap to
+// grow the packed streams — every other code is a hard parse failure).
+enum {
+  kErrCapacity = -11,   // dense: block capacity exceeded (growable)
+  kErrValCap = -100,    // packed: value stream capacity exceeded (growable)
+  kErrMaskCap = -101,   // packed: maskbyte stream capacity exceeded (growable)
+};
 
-extern "C" {
+// Emit a decoded Y block into the DENSE layout. `out` must be pre-zeroed;
+// only the nonzero coefficients (mask bits) are written.
+struct DenseSink {
+  int16_t* out;  // blocks * 64, block row-major
 
-// Decode the Y-component DCT coefficients of a baseline JPEG.
-//
-//   data/len     : the JPEG bytes
-//   out_coeffs   : int16 buffer for >= max_blocks * 64 values, filled with
-//                  de-zigzagged quantized coefficients, block row-major
-//   max_blocks   : capacity of out_coeffs in blocks
-//   out_meta     : int32[4] = {width, height, blocks_wide, blocks_high}
-//   out_qtable   : uint16[64] luma quantization table (natural order)
-//
-// Returns 0 on success, negative error codes otherwise.
-int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
-                      int max_blocks, int* out_meta, uint16_t* out_qtable) {
+  inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
+    int16_t* dst = out + block * 64;
+    while (mask) {
+      const int j = __builtin_ctzll(mask);
+      mask &= mask - 1;
+      dst[j] = scratch[j];
+    }
+    return 0;
+  }
+};
+
+// Emit into the PACKED layout (see file header). Cursors persist across
+// frames of a batch so the streams are contiguous in (frame, block) order.
+struct PackedSink {
+  uint8_t* block_meta;   // 1 byte per block, dense
+  uint8_t* maskbytes;
+  int64_t mb_cap, mb_n = 0;
+  int16_t* values;
+  int64_t val_cap, val_n = 0;
+  int64_t meta_base = 0;  // block_meta offset of the current frame
+
+  inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
+    uint8_t meta = 0;
+    uint64_t m = mask;
+    for (int k = 0; k < 8; ++k) {
+      const uint8_t byte = static_cast<uint8_t>(m & 0xFF);
+      m >>= 8;
+      if (byte) {
+        meta |= static_cast<uint8_t>(1u << k);
+        if (mb_n >= mb_cap) return kErrMaskCap;
+        maskbytes[mb_n++] = byte;
+      }
+    }
+    block_meta[meta_base + block] = meta;
+    while (mask) {
+      const int j = __builtin_ctzll(mask);
+      mask &= mask - 1;
+      if (val_n >= val_cap) return kErrValCap;
+      values[val_n++] = scratch[j];
+    }
+    return 0;
+  }
+};
+
+// Decode the Y-component DCT coefficients of one baseline JPEG into `sink`.
+// Blocks are emitted in flat row-major order regardless of the MCU
+// interleave (4:2:0 decodes two block rows per MCU row): each MCU row is
+// staged in `stage`/`stage_mask` (v0*bw blocks; caller-provided so a batch
+// reuses one allocation) and flushed in order when complete. Returns 0 on
+// success, negative error codes otherwise.
+template <typename Sink>
+static int decode_y(const uint8_t* data, int len, Sink& sink, int max_blocks,
+                    int* out_meta, uint16_t* out_qtable,
+                    std::vector<int16_t>* stage_buf,
+                    std::vector<uint64_t>* stage_mask_buf) {
   if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
   const uint8_t* p = data + 2;
   const uint8_t* end = data + len;
@@ -281,20 +354,26 @@ int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
         const int mcux = (width + 8 * h0 - 1) / (8 * h0);
         const int mcuy = (height + 8 * v0 - 1) / (8 * v0);
         const int bw = mcux * h0, bh = mcuy * v0;
-        if (bw * bh > max_blocks) return -11;
+        if (bw * bh > max_blocks) return kErrCapacity;
 
         out_meta[0] = width;
         out_meta[1] = height;
         out_meta[2] = bw;
         out_meta[3] = bh;
         for (int i = 0; i < 64; ++i) out_qtable[i] = qtables[comp[0].tq][i];
-        std::memset(out_coeffs, 0,
-                    static_cast<size_t>(bw) * bh * 64 * sizeof(int16_t));
+
+        // MCU-row staging (values need no zeroing — the mask guides reads).
+        const size_t row_blocks = static_cast<size_t>(v0) * bw;
+        if (stage_buf->size() < row_blocks * 64) stage_buf->resize(row_blocks * 64);
+        if (stage_mask_buf->size() < row_blocks) stage_mask_buf->resize(row_blocks);
+        int16_t* stage = stage_buf->data();
+        uint64_t* stage_mask = stage_mask_buf->data();
 
         BitReader br(segend, end);
         int mcu_count = 0;
-        int16_t scratch[64];
+        int16_t chroma_scratch[64];
         for (int my = 0; my < mcuy; ++my) {
+          std::memset(stage_mask, 0, row_blocks * sizeof(uint64_t));
           for (int mx = 0; mx < mcux; ++mx) {
             if (restart_interval && mcu_count == restart_interval) {
               if (!br.restart()) return -12;
@@ -309,20 +388,25 @@ int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
               const int nb = (c == 0) ? h0 * v0 : 1;
               for (int b = 0; b < nb; ++b) {
                 int16_t* dst;
+                uint64_t* msk = nullptr;
                 if (c == 0) {
-                  const int by = my * v0 + b / h0;
-                  const int bx = mx * h0 + b % h0;
-                  dst = out_coeffs + (static_cast<size_t>(by) * bw + bx) * 64;
+                  const size_t slot =
+                      static_cast<size_t>(b / h0) * bw + (mx * h0 + b % h0);
+                  dst = stage + slot * 64;
+                  msk = stage_mask + slot;
                 } else {
-                  std::memset(scratch, 0, sizeof(scratch));
-                  dst = scratch;
+                  dst = chroma_scratch;
                 }
                 // DC
                 const int t = hdc.decode(br);
                 if (t < 0 || t > 15) return -14;
                 comp[c].pred += br.receive_extend(t);
-                if (c == 0) dst[0] = static_cast<int16_t>(comp[c].pred);
-                // AC
+                if (msk && comp[c].pred != 0) {
+                  dst[0] = static_cast<int16_t>(comp[c].pred);
+                  *msk |= 1u;
+                }
+                // AC (values are nonzero by construction: s > 0 EXTENDs to
+                // a value whose magnitude is at least 2^(s-1)).
                 for (int k = 1; k < 64;) {
                   const int rs = hac.decode(br);
                   if (rs < 0) return -14;
@@ -334,11 +418,23 @@ int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
                     k += r;
                     if (k > 63) return -14;
                     const int32_t v = br.receive_extend(s);
-                    if (c == 0) dst[kZigzag[k]] = static_cast<int16_t>(v);
+                    if (msk) {
+                      dst[kZigzag[k]] = static_cast<int16_t>(v);
+                      *msk |= 1ull << kZigzag[k];
+                    }
                     ++k;
                   }
                 }
               }
+            }
+          }
+          // Flush the completed MCU row in flat row-major block order.
+          for (int r = 0; r < v0; ++r) {
+            const int64_t row_base = (static_cast<int64_t>(my) * v0 + r) * bw;
+            for (int bx = 0; bx < bw; ++bx) {
+              const int rc = sink.emit(row_base + bx, stage + (static_cast<size_t>(r) * bw + bx) * 64,
+                                       stage_mask[static_cast<size_t>(r) * bw + bx]);
+              if (rc < 0) return rc;
             }
           }
         }
@@ -350,6 +446,34 @@ int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
     p = segend;
   }
   return -15;  // no SOS found
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode the Y-component DCT coefficients of a baseline JPEG (DENSE).
+//
+//   data/len     : the JPEG bytes
+//   out_coeffs   : int16 buffer for >= max_blocks * 64 values, filled with
+//                  de-zigzagged quantized coefficients, block row-major
+//   max_blocks   : capacity of out_coeffs in blocks
+//   out_meta     : int32[4] = {width, height, blocks_wide, blocks_high}
+//   out_qtable   : uint16[64] luma quantization table (natural order)
+//
+// Returns 0 on success, negative error codes otherwise (-11 = capacity,
+// retryable with a larger buffer).
+int vbs_jpeg_y_coeffs(const uint8_t* data, int len, int16_t* out_coeffs,
+                      int max_blocks, int* out_meta, uint16_t* out_qtable) {
+  // The memset covers the worst case (capacity); decode_y only writes the
+  // nonzero coefficients on top.
+  std::memset(out_coeffs, 0,
+              static_cast<size_t>(max_blocks) * 64 * sizeof(int16_t));
+  DenseSink sink{out_coeffs};
+  std::vector<int16_t> stage;
+  std::vector<uint64_t> stage_mask;
+  return decode_y(data, len, sink, max_blocks, out_meta, out_qtable, &stage,
+                  &stage_mask);
 }
 
 // Batch variant: decode `n` JPEGs (concatenated in `data` at `offsets`,
@@ -364,11 +488,16 @@ int vbs_mjpeg_batch_y_coeffs(const uint8_t* data, const int64_t* offsets,
                              int blocks_per_frame, int* out_meta,
                              uint16_t* out_qtable) {
   int meta[4];
+  std::vector<int16_t> stage;
+  std::vector<uint64_t> stage_mask;
+  std::memset(out_coeffs, 0, static_cast<size_t>(n) * blocks_per_frame * 64 *
+                                 sizeof(int16_t));
   for (int i = 0; i < n; ++i) {
-    int16_t* dst = out_coeffs + static_cast<size_t>(i) * blocks_per_frame * 64;
-    const int rc = vbs_jpeg_y_coeffs(data + offsets[i], sizes[i], dst,
-                                     blocks_per_frame, i == 0 ? out_meta : meta,
-                                     out_qtable + static_cast<size_t>(i) * 64);
+    DenseSink sink{out_coeffs + static_cast<size_t>(i) * blocks_per_frame * 64};
+    const int rc = decode_y(data + offsets[i], sizes[i], sink,
+                            blocks_per_frame, i == 0 ? out_meta : meta,
+                            out_qtable + static_cast<size_t>(i) * 64, &stage,
+                            &stage_mask);
     if (rc != 0) return i;
     // Full geometry equality: comparing only the block PRODUCT would
     // accept a mid-stream rotation/reshape (e.g. 640x480 -> 480x640) and
@@ -377,6 +506,46 @@ int vbs_mjpeg_batch_y_coeffs(const uint8_t* data, const int64_t* offsets,
                   meta[2] != out_meta[2] || meta[3] != out_meta[3]))
       return i;
   }
+  return n;
+}
+
+// PACKED batch variant: the sparse transport format (see file header).
+//
+//   out_block_meta : uint8[n * blocks_per_frame], 1 meta-mask byte/block
+//   out_maskbytes  : uint8[mb_cap] packed nonzero mask bytes
+//   out_values     : int16[val_cap] packed nonzero coefficients
+//   out_counts     : int64[2] = {maskbytes written, values written}
+//
+// Returns n on success; a frame index 0 <= i < n at the first parse error
+// or geometry mismatch; kErrValCap/kErrMaskCap (-100/-101) when a stream
+// capacity is exceeded (retry with larger buffers).
+int vbs_mjpeg_batch_y_coeffs_packed(const uint8_t* data,
+                                    const int64_t* offsets,
+                                    const int32_t* sizes, int n,
+                                    uint8_t* out_block_meta,
+                                    uint8_t* out_maskbytes, int64_t mb_cap,
+                                    int16_t* out_values, int64_t val_cap,
+                                    int64_t* out_counts, int blocks_per_frame,
+                                    int* out_meta, uint16_t* out_qtable) {
+  int meta[4];
+  PackedSink sink{out_block_meta, out_maskbytes, mb_cap, 0,
+                  out_values,     val_cap,       0,      0};
+  std::vector<int16_t> stage;
+  std::vector<uint64_t> stage_mask;
+  for (int i = 0; i < n; ++i) {
+    sink.meta_base = static_cast<int64_t>(i) * blocks_per_frame;
+    const int rc = decode_y(data + offsets[i], sizes[i], sink,
+                            blocks_per_frame, i == 0 ? out_meta : meta,
+                            out_qtable + static_cast<size_t>(i) * 64, &stage,
+                            &stage_mask);
+    if (rc == kErrValCap || rc == kErrMaskCap) return rc;
+    if (rc != 0) return i;
+    if (i > 0 && (meta[0] != out_meta[0] || meta[1] != out_meta[1] ||
+                  meta[2] != out_meta[2] || meta[3] != out_meta[3]))
+      return i;
+  }
+  out_counts[0] = sink.mb_n;
+  out_counts[1] = sink.val_n;
   return n;
 }
 
