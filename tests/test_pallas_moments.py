@@ -130,48 +130,6 @@ def test_packed_sums_match_xla(fields):
     np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-3)
 
 
-def test_gather_moments_matches_split_path():
-    """The fused gather+reduce kernel (gather_moments) must reproduce the
-    split path (gather_windows -> moments_from_patches) on a rendered
-    scene: identical window content (same DMA + rolls) reduced by the same
-    formulas, only without the HBM patch tensor. Sums agree to reduction
-    -order rounding (sequential-axis reduces vs joint; ~2e-4 relative on
-    f32 sums — ~1e-6 px on the derived centroids)."""
-    import jax
-
-    from vision_basedsensor_tpu.config import PipelineConfig
-    from vision_basedsensor_tpu.ops.dog import dog_area_mask
-    from vision_basedsensor_tpu.ops.moments import (cut_geometry,
-                                                    moments_from_patches)
-    from vision_basedsensor_tpu.ops.ncc import normxcorr_gaussian
-    from vision_basedsensor_tpu.ops.pallas.fields import fused_fields
-    from vision_basedsensor_tpu.ops.pallas.moments import (gather_moments,
-                                                           gather_windows)
-    from vision_basedsensor_tpu.ops.peaks import select_peaks_from_cells
-    from vision_basedsensor_tpu.synth import default_scene, render_frames
-
-    cfg = PipelineConfig().detect
-    prof = cfg.low_res
-    scene = default_scene(240, 384)
-    gray = render_frames(scene, jnp.zeros((2, 65, 3), jnp.float32)
-                         .at[1, :, 2].add(-0.5))
-    area = dog_area_mask(gray, prof, cfg.dog_offset)
-    ncc = normxcorr_gaussian(area.astype(jnp.float32), prof.template_size,
-                             prof.template_sigma, binary_input=True)
-    packed, cval, cidx = fused_fields(ncc, area.astype(jnp.float32), gray,
-                                      cfg.ncc_threshold, cfg.open_ksize,
-                                      prof)
-    peaks = select_peaks_from_cells(cval, cidx, 384, cfg.max_candidates,
-                                    float(prof.peak_window))
-    geom = jax.vmap(cut_geometry)(peaks)
-    patches, pstart = gather_windows(packed, peaks, geom, prof)
-    s_ref = np.asarray(moments_from_patches(patches, pstart, peaks, geom,
-                                            prof, 384))
-    s_new = np.asarray(gather_moments(packed, peaks, geom, prof))
-    v = np.asarray(peaks.valid)
-    np.testing.assert_allclose(s_new[v], s_ref[v], rtol=1e-4, atol=5e-3)
-
-
 def test_gather_path_right_border_peak_matches_xla():
     """Regression (code review, round 2): a peak within radial_cutoff_px of
     the RIGHT image border. The lane-rolled 128-column gather windows wrap
@@ -184,8 +142,7 @@ def test_gather_path_right_border_peak_matches_xla():
     from vision_basedsensor_tpu.config import PipelineConfig
     from vision_basedsensor_tpu.ops.moments import moments_from_patches
     from vision_basedsensor_tpu.ops.pallas.fields import fused_fields
-    from vision_basedsensor_tpu.ops.pallas.moments import (gather_moments,
-                                                           gather_windows)
+    from vision_basedsensor_tpu.ops.pallas.moments import gather_windows
     from vision_basedsensor_tpu.ops.peaks import Peaks
 
     cfg = PipelineConfig().detect
@@ -214,13 +171,26 @@ def test_gather_path_right_border_peak_matches_xla():
     patches, pstart = gather_windows(packed, bp, bg, prof)
     s_split = np.asarray(moments_from_patches(patches, pstart, bp, bg,
                                               prof, w))[0]
-    s_fused = np.asarray(gather_moments(packed, bp, bg, prof))[0]
 
     v = np.asarray(valid)
     a = s_xla[v]
     fin = np.isfinite(a)
-    for name, s_other in (("split", s_split), ("fused", s_fused)):
-        b = s_other[v]
-        np.testing.assert_array_equal(fin, np.isfinite(b), err_msg=name)
-        np.testing.assert_allclose(a[fin], b[fin], rtol=1e-4, atol=5e-3,
-                                   err_msg=name)
+    b = s_split[v]
+    np.testing.assert_array_equal(fin, np.isfinite(b))
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-4, atol=5e-3)
+
+
+def test_pallas_rejects_unaligned_heights(fields):
+    """H % 8 != 0 would break the 8-aligned DMA-start promise for
+    bottom-edge peaks (clip lands on h - rows_block, not a multiple of 8)
+    and silently corrupt copies on real TPU (ADVICE round 2) — the kernels
+    must refuse and the detector must fall back."""
+    cfg, prof, gray, band, area_open, peaks = fields
+    geom = cut_geometry(peaks)
+    with pytest.raises(ValueError, match="H % 8"):
+        window_sums_pallas(band[:236], area_open[:236], gray[:236], peaks,
+                           geom, prof, interpret=True)
+    scene = default_scene(236, 384)
+    frame = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))
+    det = detect_markers(frame, DetectConfig(backend="pallas"))  # no raise
+    assert np.asarray(det.valid).shape[-1] == DetectConfig().max_candidates

@@ -49,17 +49,18 @@ class Detections(NamedTuple):
 
 def _resolve_backend(cfg: DetectConfig, gray: jnp.ndarray,
                      profile: DetectProfile) -> str:
-    """Static backend choice. Mosaic requires 128-aligned lane slices: the
-    window-sums kernel's column windows need W % 128 == 0 (and >= 256 for
-    the window size), and its row DMA block needs H >= patch_size + 8 (the
-    8-aligned start's slack) or the copy would read past the image. Fall
-    back to the XLA path otherwise (static shapes -> resolved at trace
-    time)."""
+    """Static backend choice. Mosaic requires aligned DMA offsets: the
+    window-sums kernels' column windows need W % 128 == 0 (and >= 256 for
+    the window size), their row DMA needs H % 8 == 0 (the clipped start for
+    bottom-edge peaks must stay 8-aligned; ADVICE round 2) and
+    H >= patch_size + 8 or the copy would read past the image. Fall back to
+    the XLA path otherwise (static shapes -> resolved at trace time)."""
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas" and (gray.shape[-1] % 128 != 0
                                 or gray.shape[-1] < 256
+                                or gray.shape[-2] % 8 != 0
                                 or gray.shape[-2] < profile.patch_size + 8):
         backend = "xla"
     return backend
@@ -138,7 +139,7 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
 
     backend = _resolve_backend(cfg, gray, profile)
     h, w = gray.shape[-2:]
-    if backend == "pallas" and h % 8 == 0 and h * w <= 960 * 1280:
+    if backend == "pallas" and h * w <= 960 * 1280:
         # One fused pass over the frame produces the packed per-pixel field
         # (gray + band + opened area) and the per-cell peak reductions (five
         # XLA reduce_window round-trips + the peak-tile relayout otherwise);
@@ -175,8 +176,8 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
                            cfg.max_candidates, float(profile.peak_window))
         geom = jax.vmap(cut_geometry)(peaks)
         if backend == "pallas":
-            # Aligned width but H % 8 != 0: the 3-field window-sums kernel
-            # still applies (it only needs H >= patch + 8).
+            # Frames past the fused-fields area gate (> 960x1280): the
+            # 3-field window-sums kernel still applies per peak.
             from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
             sums = window_sums_pallas(band, area_open, gray, peaks, geom,
                                       profile)

@@ -30,10 +30,15 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     return np.asarray(Image.open(BytesIO(buf)))[..., ::-1].copy()  # RGB->BGR
 
 
-def iter_mjpeg(url: str, boundary: bytes | None = None,
-               timeout: float = 10.0, max_frames: int | None = None
-               ) -> Iterator[np.ndarray]:
-    """Yield decoded BGR frames from an MJPEG stream URL.
+def iter_mjpeg_bytes(url: str, boundary: bytes | None = None,
+                     timeout: float = 10.0, max_frames: int | None = None
+                     ) -> Iterator[bytes]:
+    """Yield raw JPEG payloads from an MJPEG stream URL (no decode).
+
+    The undecoded form feeds zero-transcode recording (``cli record`` writes
+    the received JPEG bytes verbatim into an AVI container — the reference
+    operator's record-to-avi step, ``collecting.py:177-191``, without
+    spending the weak host's CPU on a decode+re-encode round trip).
 
     Parses the ``multipart/x-mixed-replace`` structure properly: the
     boundary comes from the Content-Type header (overridable), each part's
@@ -95,11 +100,19 @@ def iter_mjpeg(url: str, boundary: bytes | None = None,
                     buf = buf[nxt:]
                 if not frame_bytes:
                     continue
-                frame = _decode_jpeg(frame_bytes)
                 count += 1
-                yield frame
+                yield frame_bytes
                 if max_frames is not None and count >= max_frames:
                     return
+
+
+def iter_mjpeg(url: str, boundary: bytes | None = None,
+               timeout: float = 10.0, max_frames: int | None = None
+               ) -> Iterator[np.ndarray]:
+    """Yield decoded BGR frames from an MJPEG stream URL (see
+    :func:`iter_mjpeg_bytes` for the parsing contract)."""
+    for frame_bytes in iter_mjpeg_bytes(url, boundary, timeout, max_frames):
+        yield _decode_jpeg(frame_bytes)
 
 
 class MjpegVideoSource:

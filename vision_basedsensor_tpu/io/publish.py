@@ -31,9 +31,14 @@ class StatePublisher:
 
     ``update(dict)`` is called by the processing loop; consumers poll or
     stream. ``port=0`` binds an ephemeral port (see ``.port``).
+
+    Binds loopback by default: the endpoint has no auth and a permissive
+    CORS header, so exposing live contact state to every network peer must
+    be an explicit choice (``host="0.0.0.0"``, e.g. on an isolated robot
+    LAN — the ``cli run-live --publish-host`` flag), not a default.
     """
 
-    def __init__(self, port: int = 8082, host: str = "0.0.0.0",
+    def __init__(self, port: int = 8082, host: str = "127.0.0.1",
                  poll_timeout_s: float = 30.0):
         self._lock = threading.Condition()
         self._state: dict | None = None

@@ -258,6 +258,87 @@ class MjpegAviTpuSource(VideoSource):
             yield dec(chunks)
 
 
+class MjpegAviWriter:
+    """Mux raw JPEG frames into an MJPG ``.avi`` WITHOUT transcoding.
+
+    The reference's operator records the Pi's MJPEG stream to ``.avi`` for
+    offline processing (``collecting.py:177-191``, SURVEY.md §1 stage 0->1).
+    A decode + re-encode round trip per frame is exactly what the weak
+    acquisition-side hosts cannot afford, and it recompresses the frames —
+    this writer instead wraps the received JPEG payloads verbatim in a
+    minimal RIFF/AVI container (avih + one MJPG 'vids' stream + movi +
+    idx1). Everything that reads MJPG AVIs (cv2, ffmpeg, MjpegAviSource's
+    RIFF walk) accepts the output; the stored bytes are bit-identical to
+    what the camera sent. No cv2 dependency.
+    """
+
+    def __init__(self, path: str, fps: float, size_wh: tuple[int, int]):
+        import struct
+        self._struct = struct
+        self._f = open(path, "wb")
+        self._fps = float(fps)
+        self._w, self._h = size_wh
+        self._sizes: list[int] = []
+        w = self._f.write
+        p = struct.pack
+        w(b"RIFF" + p("<I", 0) + b"AVI ")                    # size patched
+        # hdrl list: avih + strl(strh, strf)
+        avih = p("<IIIIIIIIII4I",
+                 int(1e6 / self._fps), 0, 0, 0x10,           # usec/frame, HASINDEX
+                 0, 0, 1, 0, self._w, self._h, 0, 0, 0, 0)   # frames patched
+        strh = (b"vids" + b"MJPG" + p("<IHHIIIIIIII", 0, 0, 0, 0,
+                                      1000, int(self._fps * 1000),  # scale/rate
+                                      0, 0, 0, 0xFFFFFFFF, 0)
+                + p("<4H", 0, 0, self._w, self._h))
+        strf = p("<IiiHH4sIiiII", 40, self._w, self._h, 1, 24, b"MJPG",
+                 self._w * self._h * 3, 0, 0, 0, 0)
+        strl = (b"LIST" + p("<I", 4 + 8 + len(strh) + 8 + len(strf))
+                + b"strl" + b"strh" + p("<I", len(strh)) + strh
+                + b"strf" + p("<I", len(strf)) + strf)
+        hdrl = (b"LIST"
+                + p("<I", 4 + 8 + len(avih) + len(strl))
+                + b"hdrl" + b"avih" + p("<I", len(avih)) + avih + strl)
+        self._avih_frames_pos = self._f.tell() + 8 + 4 + 8 + 16
+        self._strh_length_pos = (self._f.tell() + 8 + 4 + 8 + len(avih)
+                                 + 8 + 4 + 8 + 32)
+        w(hdrl)
+        self._movi_pos = self._f.tell()
+        w(b"LIST" + p("<I", 0) + b"movi")                    # size patched
+
+    def write_jpeg(self, data: bytes) -> None:
+        w = self._f.write
+        w(b"00dc" + self._struct.pack("<I", len(data)) + data)
+        if len(data) & 1:
+            w(b"\x00")
+        self._sizes.append(len(data))
+
+    def close(self) -> None:
+        p = self._struct.pack
+        f = self._f
+        movi_end = f.tell()
+        # idx1: one keyframe entry per chunk; offsets relative to 'movi'+4.
+        f.write(b"idx1" + p("<I", 16 * len(self._sizes)))
+        off = 4
+        for sz in self._sizes:
+            f.write(b"00dc" + p("<II", 0x10, off) + p("<I", sz))
+            off += 8 + sz + (sz & 1)
+        end = f.tell()
+        n = len(self._sizes)
+        f.seek(4)
+        f.write(p("<I", end - 8))                            # RIFF size
+        f.seek(self._avih_frames_pos)
+        f.write(p("<I", n))                                  # dwTotalFrames
+        f.seek(self._strh_length_pos)
+        f.write(p("<I", n))                                  # strh dwLength
+        f.seek(self._movi_pos + 4)
+        f.write(p("<I", movi_end - self._movi_pos - 8))      # movi LIST size
+        f.close()
+
+    @property
+    def frames_written(self) -> int:
+        return len(self._sizes)
+
+
 class VideoWriter:
     """Annotated-video sink (XVID .avi like ``marker_detection.py:70-76``;
     pass ``fourcc='MJPG'`` for Motion-JPEG). No-op when cv2 is absent."""
