@@ -143,7 +143,9 @@ def _gather_moments_kernel(start_ref, peak_ref, geom_ref, params_ref,
             red(w * dx * dx), red(w * dy * dy), red(w * dx * dy),
             red(wh), red(wh * dx), red(wh * dy),
             red(wh * dx * dx), red(wh * dy * dy), red(wh * dx * dy),
-            lo, hi, red(cut)]
+            lo, hi, red(cut),
+            red(w * dx * dx * dx), red(w * dx * dx * dy),
+            red(w * dx * dy * dy), red(w * dy * dy * dy)]
     out_ref[0] = jnp.concatenate(cols, axis=1)
 
 

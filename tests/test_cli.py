@@ -282,3 +282,40 @@ def test_cli_track_annotate_crop_draws_in_cropped_space(video_npy, tmp_path):
     # Codec may round odd dims down by one; the raw (uncropped) size would
     # be ~30 px larger, so +-1 still proves the cropped geometry was drawn.
     assert abs(h - ch) <= 1 and abs(w - cw) <= 1, (h, w, cropped.shape)
+
+
+def test_cli_tilt_video_vs_analyze_txt_pinned(tmp_path, capsys):
+    """Cross-modality pin (VERDICT round 2, #10): the tilt computed from
+    VIDEOS (cmd_tilt) and the tilt computed from the TXT tables cmd_tilt
+    exported for that same reconstruction (cmd_analyze, the reference's
+    ForceDistribution.py:110-136 modality) must agree to 1e-3 deg — the
+    C14/C15 chain is one algorithm regardless of input modality."""
+    from vision_basedsensor_tpu.config import (
+        PipelineConfig, ReconstructConfig, to_json)
+    from vision_basedsensor_tpu.synth import (
+        default_scene, render_frames, tilt_deviation_field)
+    scene = default_scene(480, 640)
+    zero = jnp.zeros((65, 3), jnp.float32)
+    vert = np.asarray(render_frames(
+        scene, jnp.stack([zero, zero + jnp.asarray([0.0, 0.0, -1.0])])))
+    tilt = np.asarray(render_frames(
+        scene, jnp.stack([zero, tilt_deviation_field(12.0, compression_mm=1.0)])))
+    pv = str(tmp_path / "vert.npy")
+    pt = str(tmp_path / "tilt.npy")
+    np.save(pv, vert.astype(np.uint8))
+    np.save(pt, tilt.astype(np.uint8))
+
+    cfgp = str(tmp_path / "cfg.json")
+    to_json(PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0)), cfgp)
+    outdir = str(tmp_path / "exp")
+    main(["--config", cfgp, "tilt", pv, pt, "--no-warmup",
+          "--start-range", "0", "0", "--end-range", "1", "1",
+          "--output-dir", outdir])
+    out_video = capsys.readouterr().out
+    a_video = float(out_video.split("Tilt Angle = ")[1].split(" ")[0])
+
+    main(["analyze", os.path.join(outdir, "vertical.txt"),
+          os.path.join(outdir, "tilted.txt")])
+    out_txt = capsys.readouterr().out
+    a_txt = float(out_txt.split("Tilt Angle = ")[1].split(" ")[0])
+    assert abs(a_video - a_txt) < 1e-3, (a_video, a_txt)

@@ -74,20 +74,33 @@ def test_partial_occlusion_gated_by_axis_ratio():
     moment ellipse passes every reference gate (fitEllipse on the clipped
     contour has no validity check beyond minor>=5 px,
     marker_detection.py:208,219) yet measures a ~2x-biased diameter —
-    without the axis-ratio gate this fabricated a 13.9 mm phantom
-    displacement. The half-disk's ~1.9-2.0 major/minor trips
-    ReconstructConfig.max_axis_ratio (1.6), so the observation drops for
+    without any defense this fabricated a 13.9 mm phantom displacement.
+    Two layers handle it (VERDICT round 2, #8): occlusion COMPLETION
+    (default) recognises the censored disk and keeps the marker tracked
+    with a recovered center/diameter (sub-mm residual instead of 13.9 mm);
+    with completion off, the half-disk's ~1.9-2.0 major/minor still trips
+    ReconstructConfig.max_axis_ratio (1.6) and the observation drops for
     the frame while every other marker keeps tracking."""
     scene, frames = _occluded_frames(lambda f: f.max())  # bright occluder
     out = run_video(frames, scene.cam, _cfg(), apply_warmup=False)
     seen = np.asarray(out.recon.seen)
     assert seen[0].sum() == 65
-    assert not seen[1][30], "half-occluded marker must be gated out"
+    ffn = np.asarray(out.recon.from_first_norm)[1]
+    assert seen[1][30], "completion must keep the half-occluded marker"
+    assert ffn[30] < 1.0, f"completed marker residual {ffn[30]} (was 13.9)"
     others = np.ones(65, bool)
     others[30] = False
-    ffn = np.asarray(out.recon.from_first_norm)[1]
     assert seen[1][others].sum() >= 62
     assert ffn[others & seen[1]].max() < 0.05, ffn[others & seen[1]].max()
+
+    import dataclasses
+    cfg = _cfg()
+    cfg_off = dataclasses.replace(
+        cfg, detect=dataclasses.replace(cfg.detect,
+                                        occlusion_completion=False))
+    out2 = run_video(frames, scene.cam, cfg_off, apply_warmup=False)
+    assert not np.asarray(out2.recon.seen)[1][30], \
+        "without completion the axis-ratio gate must drop the half-disk"
 
 
 def test_blob_merge_gated_by_step_displacement():

@@ -91,6 +91,19 @@ class DetectConfig:
     # including its biases (see tests/test_detect.py).
     diameter_mode: str = "photometric"
     centroid_mode: str = "photometric"  # "band" (reference parity) | "photometric"
+    # Partial-occlusion completion (beats the reference's drop-the-marker
+    # semantics, 3d_reconstruction.py:309-311): a marker half-hidden by the
+    # probe presents as a censored disk — high axis ratio with a skewed
+    # intensity distribution. When the photometric moments match that
+    # signature (ratio within the window AND third-moment skew along the
+    # minor axis above the floor), the true center/diameter are recovered
+    # from the visible part (ops/moments.py:complete_occluded) and the
+    # candidate is flagged ``Detections.occluded`` (lower confidence)
+    # instead of being dropped by the reconstruct-stage axis-ratio gate.
+    occlusion_completion: bool = True
+    occlusion_min_ratio: float = 1.45   # censored-disk s ~ -0.42
+    occlusion_max_ratio: float = 6.0    # past ~s=0.8 too little remains
+    occlusion_min_skew: float = 0.08    # uncensored blobs sit near 0
     # Window-sum backend: "pallas" (fused kernel with per-window HBM->VMEM
     # DMA, ops/pallas/moments.py — 3.4x faster detect on TPU, measured
     # 593 -> 176 us/frame), "xla" (gather + reduce), or "auto" (pallas on

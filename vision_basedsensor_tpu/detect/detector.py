@@ -45,6 +45,8 @@ class Detections(NamedTuple):
     angle: jnp.ndarray   # (..., K) major-axis angle, degrees in [0, 180)
     score: jnp.ndarray   # (..., K) NCC peak score
     valid: jnp.ndarray   # (..., K) bool
+    occluded: jnp.ndarray = None  # (..., K) bool: center/axes recovered by
+    #                               occlusion completion (lower confidence)
 
 
 def _resolve_backend(cfg: DetectConfig, gray: jnp.ndarray,
@@ -90,16 +92,36 @@ def _finalize_candidates(sums: jnp.ndarray, peaks, cfg: DetectConfig,
     else:
         axes, angle = fin.photo_axes, fin.photo_angle
 
+    # Partial-occlusion completion (censored-disk signature: axis ratio +
+    # intensity skew along the minor axis): recover the true center and
+    # diameter from the visible part instead of letting the reconstruct
+    # stage's max_axis_ratio gate drop the marker for the frame.
+    if cfg.occlusion_completion:
+        from vision_basedsensor_tpu.ops.moments import complete_occluded
+        o_center, o_axes, occluded = complete_occluded(
+            fin, cfg.occlusion_min_ratio, cfg.occlusion_max_ratio,
+            cfg.occlusion_min_skew)
+        center = jnp.where(occluded[..., None], o_center, center)
+        axes = jnp.where(occluded[..., None], o_axes, axes)
+        angle = jnp.where(occluded, 0.0, angle)
+    else:
+        occluded = jnp.zeros(peaks.valid.shape, bool)
+
     # Validity gates mirroring the reference's per-contour checks:
     #   minor >= 5 px (:219); NCC centroid within minor/10 of the ellipse
-    #   center (:225-234); non-empty area region.
+    #   center (:225-234); non-empty area region. An occlusion-completed
+    #   candidate keeps the area-region and size gates but skips the
+    #   center-match gate — its recovered center legitimately differs from
+    #   the censored area centroid.
     ell_minor = fin.area_axes[..., 1]
     match_d2 = jnp.sum((center - fin.area_center) ** 2, axis=-1)
     gate = (ell_minor / cfg.center_match_frac) ** 2
+    size_ok = jnp.where(occluded, axes[..., 1] >= cfg.min_minor_axis_px,
+                        ell_minor >= cfg.min_minor_axis_px)
     valid = (peaks.valid
-             & (ell_minor >= cfg.min_minor_axis_px)
+             & size_ok
              & (fin.area_m0 > 0.0)
-             & (match_d2 < gate))
+             & ((match_d2 < gate) | occluded))
 
     z = lambda v: jnp.where(valid[..., None] if v.ndim > valid.ndim else valid, v, 0.0)
     det = Detections(
@@ -108,6 +130,7 @@ def _finalize_candidates(sums: jnp.ndarray, peaks, cfg: DetectConfig,
         angle=jnp.where(valid, angle, 0.0),
         score=jnp.where(valid, peaks.score, 0.0),
         valid=valid,
+        occluded=valid & occluded,
     )
     return det, fin.axis_scale
 
@@ -139,7 +162,16 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
 
     backend = _resolve_backend(cfg, gray, profile)
     h, w = gray.shape[-2:]
-    if backend == "pallas" and h * w <= 960 * 1280:
+    # Whole-frame fused kernel up to 960x1280; larger frames (1080p+) use
+    # its row-tiled variant, which needs every window to fit the 8-row halo
+    # (true for both built-in profiles; a custom profile with wider windows
+    # falls back to the XLA field path below).
+    from vision_basedsensor_tpu.ops.pallas.fields import HALO
+    fits_fused = (h * w <= 960 * 1280
+                  or (profile.band_window // 2 <= HALO
+                      and profile.peak_window // 2 <= HALO
+                      and 2 * (cfg.open_ksize // 2) <= HALO))
+    if backend == "pallas" and fits_fused:
         # One fused pass over the frame produces the packed per-pixel field
         # (gray + band + opened area) and the per-cell peak reductions (five
         # XLA reduce_window round-trips + the peak-tile relayout otherwise);
@@ -176,8 +208,8 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
                            cfg.max_candidates, float(profile.peak_window))
         geom = jax.vmap(cut_geometry)(peaks)
         if backend == "pallas":
-            # Frames past the fused-fields area gate (> 960x1280): the
-            # 3-field window-sums kernel still applies per peak.
+            # Custom profiles whose windows exceed the tiled kernel's halo:
+            # the 3-field window-sums kernel still applies per peak.
             from vision_basedsensor_tpu.ops.pallas.moments import window_sums_pallas
             sums = window_sums_pallas(band, area_open, gray, peaks, geom,
                                       profile)

@@ -34,19 +34,26 @@ Sum layout (last axis, size 24):
        soft axes rescaled by the per-frame median half/soft ratio.)
   21: min(gray) in cut   22: max(gray) in cut
   23: count(cut)
+  24: w * cut * dx^3     25: * dx^2*dy  26: * dx*dy^2  27: * dy^3
+      (photometric THIRD moments: a partially occluded marker is a censored
+       disk whose intensity distribution is skewed along the cut normal —
+       the skew identifies the occluded side so the true center/diameter
+       can be completed from the visible half; see complete_occluded.)
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vision_basedsensor_tpu.config import DetectProfile
 from vision_basedsensor_tpu.ops.patches import extract_patches, patch_coords
 from vision_basedsensor_tpu.ops.peaks import Peaks
 
-NUM_SUMS = 24
+NUM_SUMS = 28
 
 
 def soft_weight_remap(w: jnp.ndarray, floor: float) -> jnp.ndarray:
@@ -135,10 +142,16 @@ def window_sums_xla(band: jnp.ndarray, area: jnp.ndarray, gray: jnp.ndarray,
         return jnp.stack([(v * fx * fx).sum(-1), (v * fy * fy).sum(-1),
                           (v * fx * fy).sum(-1)], -1)
 
+    def m3(v):
+        return jnp.stack([(v * fx * fx * fx).sum(-1),
+                          (v * fx * fx * fy).sum(-1),
+                          (v * fx * fy * fy).sum(-1),
+                          (v * fy * fy * fy).sum(-1)], -1)
+
     wh = (w >= 0.5).astype(jnp.float32)
     return jnp.concatenate([
         m(fb), m(fa), m2(fa), m(w), m2(w), m(wh), m2(wh),
-        lo[:, None], hi[:, None], c.sum(-1)[:, None],
+        lo[:, None], hi[:, None], c.sum(-1)[:, None], m3(w),
     ], axis=-1)
 
 
@@ -210,8 +223,12 @@ def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
     def m2(v):
         return [red(v * dx * dx), red(v * dy * dy), red(v * dx * dy)]
 
+    def m3(v):
+        return [red(v * dx * dx * dx), red(v * dx * dx * dy),
+                red(v * dx * dy * dy), red(v * dy * dy * dy)]
+
     return jnp.stack(m(b) + m(a) + m2(a) + m(w) + m2(w) + m(wh) + m2(wh)
-                     + [lo, hi, red(cut)], axis=-1)
+                     + [lo, hi, red(cut)] + m3(w), axis=-1)
 
 
 class Finalized(NamedTuple):
@@ -224,6 +241,10 @@ class Finalized(NamedTuple):
     photo_angle: jnp.ndarray   # (K,)
     area_m0: jnp.ndarray       # (K,)
     axis_scale: jnp.ndarray    # () half/soft calibration scalar actually applied
+    minor_dir: jnp.ndarray     # (K, 2) photometric minor-axis unit vector,
+    #                            oriented toward positive skew (the visible
+    #                            side of a censored disk)
+    skew: jnp.ndarray          # (K,) |standardized third moment| along it
 
 
 def _ellipse(m0, mx, my, mxx, myy, mxy):
@@ -281,9 +302,105 @@ def finalize(sums: jnp.ndarray, peak_xy: jnp.ndarray,
     p_major = p_major * scale
     p_minor = p_minor * scale
 
+    # Photometric minor-axis direction + standardized skew along it (the
+    # censored-disk occlusion signature; complete_occluded consumes these).
+    tot = jnp.maximum(s[..., 9], 1e-12)
+    cx = s[..., 10] / tot
+    cy = s[..., 11] / tot
+    vxx = s[..., 12] / tot - cx * cx
+    vyy = s[..., 13] / tot - cy * cy
+    vxy = s[..., 14] / tot - cx * cy
+    # Central third moments from the peak-relative raw moments.
+    mu30 = s[..., 24] / tot - 3 * cx * (s[..., 12] / tot) + 2 * cx ** 3
+    mu21 = (s[..., 25] / tot - 2 * cx * (s[..., 14] / tot)
+            - cy * (s[..., 12] / tot) + 2 * cx * cx * cy)
+    mu12 = (s[..., 26] / tot - 2 * cy * (s[..., 14] / tot)
+            - cx * (s[..., 13] / tot) + 2 * cx * cy * cy)
+    mu03 = s[..., 27] / tot - 3 * cy * (s[..., 13] / tot) + 2 * cy ** 3
+    phi = 0.5 * jnp.arctan2(2.0 * vxy, vxx - vyy)   # major-axis angle
+    ux = -jnp.sin(phi)                               # minor-axis direction
+    uy = jnp.cos(phi)
+    lam_u = jnp.maximum((p_minor / (4.0 * scale)) ** 2, 1e-12)
+    mu3_u = (mu30 * ux ** 3 + 3 * mu21 * ux * ux * uy
+             + 3 * mu12 * ux * uy * uy + mu03 * uy ** 3)
+    flip = jnp.sign(jnp.where(mu3_u == 0, 1.0, mu3_u))
+    minor_dir = jnp.stack([ux * flip, uy * flip], -1)
+    skew = jnp.abs(mu3_u) / lam_u ** 1.5
+
     return Finalized(
         band_center=bc + peak_xy, photo_center=pc + peak_xy,
         area_center=ac + peak_xy,
         area_axes=jnp.stack([a_major, a_minor], -1), area_angle=a_angle,
         photo_axes=jnp.stack([p_major, p_minor], -1), photo_angle=p_angle,
-        area_m0=s[..., 3], axis_scale=scale)
+        area_m0=s[..., 3], axis_scale=scale, minor_dir=minor_dir, skew=skew)
+
+
+@functools.lru_cache(maxsize=1)
+def _occlusion_tables():
+    """Censored-disk moment tables (unit disk, visible part ``u >= s``).
+
+    Numeric quadrature over the along-normal density ``f(u) = 2 sqrt(1-u²)``
+    yields, per censoring depth ``s``: the observable axis ratio
+    ``sqrt(lam_v/lam_u)`` (monotonic in s — the inversion key), the centroid
+    shift ``E[u]`` toward the visible side, and ``sqrt(lam_v)`` (the
+    along-chord spread that calibrates the radius). One-time ~1e5-flop host
+    computation; everything downstream is two ``jnp.interp`` lookups.
+    """
+    u = np.linspace(-1.0, 1.0, 4001)
+    f = 2.0 * np.sqrt(np.clip(1.0 - u * u, 0.0, None))
+    ss = np.linspace(-0.98, 0.92, 96)
+    ratio, shift, sqrt_lv = [], [], []
+    for s in ss:
+        m = u >= s
+        a = np.trapezoid(f[m], u[m])
+        mu = np.trapezoid(u[m] * f[m], u[m]) / a
+        lu = np.trapezoid((u[m] - mu) ** 2 * f[m], u[m]) / a
+        lv = np.trapezoid((1.0 - u[m] ** 2) / 3.0 * f[m], u[m]) / a
+        ratio.append(np.sqrt(lv / lu))
+        shift.append(mu)
+        sqrt_lv.append(np.sqrt(lv))
+    # NUMPY on purpose: this is lru_cached, and caching jnp arrays built
+    # during a jit trace would leak tracers into later traces.
+    return (np.asarray(ratio, np.float32), np.asarray(shift, np.float32),
+            np.asarray(sqrt_lv, np.float32))
+
+
+def complete_occluded(fin: Finalized, min_ratio: float, max_ratio: float,
+                      min_skew: float):
+    """Recover center + diameter of partially occluded markers.
+
+    A marker half-hidden behind an occluder (the probe, README.md:103-121)
+    is a disk censored by a roughly straight edge. Its photometric moments
+    betray it: the axis ratio exceeds 1 along the cut normal AND the
+    intensity distribution is skewed toward the visible side — an ordinary
+    elongated ellipse has ratio without skew, so both gates together are
+    the occlusion signature. Inverting the censored-disk tables
+    (:func:`_occlusion_tables`) on the measured ratio gives the censoring
+    depth; from it the true center (measured centroid shifted back along
+    the minor axis) and true diameter (from the along-chord spread, which
+    the cut leaves least disturbed).
+
+    Returns ``(center, axes, occluded)`` with corrections applied only
+    where the signature holds (``occluded`` False elsewhere — values there
+    are the uncorrected inputs). The reference drops such markers entirely
+    (``3d_reconstruction.py:309-311`` continue-on-failure + the
+    ``max_axis_ratio`` gate that replaced it); this keeps them tracked at
+    lower confidence.
+    """
+    t_ratio, t_shift, t_sqlv = _occlusion_tables()
+    major = fin.photo_axes[..., 0]
+    minor = jnp.maximum(fin.photo_axes[..., 1], 1e-6)
+    ratio = major / minor
+    occluded = ((ratio >= min_ratio) & (ratio <= max_ratio)
+                & (fin.skew >= min_skew))
+
+    # lam_v in axis units: major = 4 sqrt(lam_v) * scale.
+    sqrt_lv_meas = major / 4.0
+    r_est = sqrt_lv_meas / jnp.interp(ratio, t_ratio, t_sqlv)
+    shift = jnp.interp(ratio, t_ratio, t_shift) * r_est
+    center = fin.photo_center - fin.minor_dir * shift[..., None]
+    d_est = 2.0 * r_est
+    axes = jnp.stack([d_est, d_est], -1)
+    return (jnp.where(occluded[..., None], center, fin.photo_center),
+            jnp.where(occluded[..., None], axes, fin.photo_axes),
+            occluded)

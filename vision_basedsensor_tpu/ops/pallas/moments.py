@@ -71,6 +71,8 @@ def _accumulate(band, area, gray, start_ref, peak_ref, geom_ref, out_ref, k,
         jnp.sum(wh), jnp.sum(wh * dx), jnp.sum(wh * dy),
         jnp.sum(wh * dx * dx), jnp.sum(wh * dy * dy), jnp.sum(wh * dx * dy),
         lo, hi, jnp.sum(cut),
+        jnp.sum(w * dx * dx * dx), jnp.sum(w * dx * dx * dy),
+        jnp.sum(w * dx * dy * dy), jnp.sum(w * dy * dy * dy),
     ])
     for i in range(vals.shape[0]):
         out_ref[0, k, i] = vals[i]
