@@ -187,6 +187,10 @@ def bench_latency(batches=(1, 8, 32), iters: int = 50) -> dict:
     pose-compensation loop (io/publish.py, README.md:124) actually sees —
     throughput at B=1024 says nothing about it.
 
+    Frames ship as uint8 (what every real source yields — camera, MJPEG,
+    .avi; the pipeline casts on device), so the host->device transfer is
+    the honest 1 byte/px, not 4.
+
     Measurement discipline (benchmarks/ablate_detect.py): every iteration
     gets a distinct scalar input folded into the frames below f32 ulp, so
     the relay can neither dedup identical executions nor skip work — and
@@ -207,12 +211,13 @@ def bench_latency(batches=(1, 8, 32), iters: int = 50) -> dict:
 
     @jax.jit
     def step(f, s, r):
-        out = process_frames(f + 1e-30 * s, r, scene.cam, cfg)
+        out = process_frames(f.astype(jnp.float32) + 1e-30 * s, r,
+                             scene.cam, cfg)
         return out.contact.tilt_deg[-1]
 
     results = {}
     for b in batches:
-        fnp = np.asarray(frames[:b])
+        fnp = np.asarray(frames[:b]).astype(np.uint8)
         s = float(np.asarray(step(jnp.asarray(fnp), jnp.float32(0.0), ref)))
         times = []
         for i in range(iters):
@@ -227,6 +232,55 @@ def bench_latency(batches=(1, 8, 32), iters: int = 50) -> dict:
                                       int(len(times) * 0.99))] * 1e3, 2),
         }
     return results
+
+
+def bench_latency_packed(iters: int = 50) -> dict | None:
+    """B=1 serving latency on the LIVE-STREAM transport: JPEG bytes (as the
+    MJPEG stream delivers them) -> native entropy decode -> packed sparse
+    coefficients over the link -> on-device expand + IDCT -> full pipeline
+    -> tilt on host. On a bandwidth-limited host->device link this ships
+    ~25-70 KB instead of 307 KB/frame; pair with bench_latency's b1 row to
+    see which side of the link bound a deployment sits on. None when cv2
+    (JPEG encode for the fixture) or the native decoder is unavailable.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        import cv2
+        from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+        dec = MjpegBatchDecoder()
+    except Exception:
+        return None
+
+    from vision_basedsensor_tpu.config import PipelineConfig, ReconstructConfig
+    from vision_basedsensor_tpu.pipeline import initialize, process_frames
+
+    cfg = PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))
+    scene, frames = _render_sequence(iters + 1)
+    jpegs = [cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 70])[1]
+             .tobytes() for f in np.asarray(frames).astype(np.uint8)]
+    ref = initialize(frames[0], cfg)
+
+    @jax.jit
+    def step(f, r):
+        out = process_frames(f, r, scene.cam, cfg)
+        return out.contact.tilt_deg[-1]
+
+    # Warm both jits (expand buckets + pipeline) on the first frame.
+    float(np.asarray(step(dec.decode_packed([jpegs[0]]), ref)))
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        dev = dec.decode_packed([jpegs[i + 1]])  # distinct frame each iter
+        float(np.asarray(step(dev, ref)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {"p50_ms": round(times[len(times) // 2] * 1e3, 2),
+            "p99_ms": round(times[min(len(times) - 1,
+                                      int(len(times) * 0.99))] * 1e3, 2)}
 
 
 def main() -> None:
@@ -248,6 +302,9 @@ def main() -> None:
         }))
 
     lat = bench_latency()
+    lat_packed = bench_latency_packed()
+    if lat_packed is not None:
+        lat["b1_jpeg_packed"] = lat_packed
     print(json.dumps({
         "metric": "serving_latency_ms",
         "value": lat["b1"]["p50_ms"],

@@ -156,7 +156,7 @@ def test_packed_capacity_growth():
     ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 95])
     dec = MjpegBatchDecoder()
     ref = np.asarray(dec.decode([enc.tobytes()]))
-    dec._mb_cap, dec._val_cap = 8, 8  # force both growth paths
+    dec._cap, dec._scap = 8, 8  # force both growth paths (entries + spill)
     out = np.asarray(dec.decode_packed([enc.tobytes()]))
     assert (out == ref).all()
 

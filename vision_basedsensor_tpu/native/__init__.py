@@ -80,12 +80,13 @@ def load_jpeg_lib():
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_uint16),
                 ]
-                lib.vbs_mjpeg_batch_y_coeffs_packed.restype = ctypes.c_int
-                lib.vbs_mjpeg_batch_y_coeffs_packed.argtypes = [
+                lib.vbs_mjpeg_batch_y_coeffs_delta.restype = ctypes.c_int
+                lib.vbs_mjpeg_batch_y_coeffs_delta.argtypes = [
                     ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
                     ctypes.POINTER(ctypes.c_uint8),
-                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8),
                     ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
                     ctypes.POINTER(ctypes.c_int32),

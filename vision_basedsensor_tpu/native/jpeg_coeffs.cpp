@@ -15,18 +15,23 @@
 //  * DENSE:  int16[blocks * 64], block row-major. 2 bytes/coefficient =
 //    614 KB/frame at 640x480 — 2x the raw gray bytes, so on a bandwidth-
 //    limited host->TPU link this format loses to raw-pixel transport.
-//  * PACKED: quantized luma blocks are overwhelmingly zeros (q70 dark
-//    scenes: ~1-4 nonzeros/block), so ship only structure + nonzeros:
-//      - block_meta: 1 byte per block; bit k set when mask byte k (coeff
-//        positions 8k..8k+7, natural order) has any nonzero
-//      - maskbytes:  the nonzero mask bytes, stream-packed in (frame,
-//        block, byte-index) order
-//      - values:     int16 nonzero coefficients, stream-packed in (frame,
-//        block, natural-position) order
-//    A flat background block (DC only) costs 4 bytes instead of 128; the
-//    worst case adds 9 bytes/block over dense. The TPU expands this with
-//    two rounds of bit-unpack -> exclusive-prefix-sum -> gather
-//    (ops/jpeg.py:unpack_idct_frames) — all dense XLA ops, no scatter.
+//  * DELTA (sparse): quantized luma blocks are overwhelmingly zeros (q70
+//    dark scenes: ~1-4 nonzeros/block), so ship one (gap, value) pair per
+//    nonzero, addressed in the batch's FLAT coefficient space
+//    pos = (frame*blocks + block)*64 + natural_index:
+//      - gaps:    uint8, strictly positive position deltas (prev starts at
+//                 -1); a gap > 255 is bridged by filler entries
+//                 (gap=255, value=0) — they land on zero slots of the
+//                 pre-zeroed tensor, so they are harmless by construction
+//      - values:  int8, the coefficient clamped to [-127, 127]
+//      - spill:   the rare |coeff| > 127 get a second (gap uint8,
+//                 delta int16 = v - clamp(v)) stream with the same
+//                 filler rule, ADDED on top of the clamped scatter
+//    ~3 bytes per nonzero (~40-60 KB/frame at 480p q70). The TPU expands
+//    this with ONE cumsum + ONE sorted-unique scatter + the spill add
+//    (ops/jpeg.py:delta_idct_frames) — measured ~25x faster than the
+//    earlier bitmask format's per-output-element gather expansion, whose
+//    78M scalar gathers per 256-frame batch serialized on the TPU.
 //
 // Scope: baseline sequential DCT (SOF0), 8-bit, Huffman, 1 or 3 components,
 // luma sampling factors up to 2x2 with 1x1 chroma (covers libjpeg/cv2
@@ -189,13 +194,13 @@ struct Component {
 
 inline int rd16(const uint8_t* p) { return (p[0] << 8) | p[1]; }
 
-// Error codes (shared by dense and packed paths; ops/jpeg.py matches on
-// kErrCapacity to grow its probe buffer and on kErrValCap/kErrMaskCap to
-// grow the packed streams — every other code is a hard parse failure).
+// Error codes (shared by dense and delta paths; ops/jpeg.py matches on
+// kErrCapacity to grow its probe buffer and on kErrValCap/kErrSpillCap to
+// grow the delta streams — every other code is a hard parse failure).
 enum {
   kErrCapacity = -11,   // dense: block capacity exceeded (growable)
-  kErrValCap = -100,    // packed: value stream capacity exceeded (growable)
-  kErrMaskCap = -101,   // packed: maskbyte stream capacity exceeded (growable)
+  kErrValCap = -100,    // delta: entry stream capacity exceeded (growable)
+  kErrSpillCap = -102,  // delta: spill stream capacity exceeded (growable)
 };
 
 // Emit a decoded Y block into the DENSE layout. `out` must be pre-zeroed;
@@ -214,34 +219,55 @@ struct DenseSink {
   }
 };
 
-// Emit into the PACKED layout (see file header). Cursors persist across
-// frames of a batch so the streams are contiguous in (frame, block) order.
-struct PackedSink {
-  uint8_t* block_meta;   // 1 byte per block, dense
-  uint8_t* maskbytes;
-  int64_t mb_cap, mb_n = 0;
-  int16_t* values;
-  int64_t val_cap, val_n = 0;
-  int64_t meta_base = 0;  // block_meta offset of the current frame
+// Emit into the DELTA layout (see file header). Cursors and the previous
+// positions persist across frames so one cumsum on the device reconstructs
+// every position in the batch's flat coefficient space.
+struct DeltaSink {
+  uint8_t* gaps;
+  int8_t* vals;
+  int64_t cap, n = 0;
+  uint8_t* sgaps;
+  int16_t* sdeltas;
+  int64_t scap, sn = 0;
+  int64_t prev = -1, sprev = -1;  // last emitted flat positions
+  int64_t frame_base = 0;         // frame_index * blocks * 64
 
   inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
-    uint8_t meta = 0;
-    uint64_t m = mask;
-    for (int k = 0; k < 8; ++k) {
-      const uint8_t byte = static_cast<uint8_t>(m & 0xFF);
-      m >>= 8;
-      if (byte) {
-        meta |= static_cast<uint8_t>(1u << k);
-        if (mb_n >= mb_cap) return kErrMaskCap;
-        maskbytes[mb_n++] = byte;
-      }
-    }
-    block_meta[meta_base + block] = meta;
+    const int64_t base = frame_base + block * 64;
     while (mask) {
       const int j = __builtin_ctzll(mask);
       mask &= mask - 1;
-      if (val_n >= val_cap) return kErrValCap;
-      values[val_n++] = scratch[j];
+      const int64_t pos = base + j;
+      int64_t gap = pos - prev;
+      while (gap > 255) {  // filler entries bridge long zero runs
+        if (n >= cap) return kErrValCap;
+        gaps[n] = 255;
+        vals[n] = 0;
+        ++n;
+        gap -= 255;
+      }
+      if (n >= cap) return kErrValCap;
+      const int16_t v = scratch[j];
+      const int16_t c = v > 127 ? 127 : (v < -127 ? -127 : v);
+      gaps[n] = static_cast<uint8_t>(gap);
+      vals[n] = static_cast<int8_t>(c);
+      ++n;
+      prev = pos;
+      if (v != c) {  // spill: the remainder rides the int16 side stream
+        int64_t sgap = pos - sprev;
+        while (sgap > 255) {
+          if (sn >= scap) return kErrSpillCap;
+          sgaps[sn] = 255;
+          sdeltas[sn] = 0;
+          ++sn;
+          sgap -= 255;
+        }
+        if (sn >= scap) return kErrSpillCap;
+        sgaps[sn] = static_cast<uint8_t>(sgap);
+        sdeltas[sn] = static_cast<int16_t>(v - c);
+        ++sn;
+        sprev = pos;
+      }
     }
     return 0;
   }
@@ -509,43 +535,43 @@ int vbs_mjpeg_batch_y_coeffs(const uint8_t* data, const int64_t* offsets,
   return n;
 }
 
-// PACKED batch variant: the sparse transport format (see file header).
+// DELTA batch variant: the sparse transport format (see file header).
 //
-//   out_block_meta : uint8[n * blocks_per_frame], 1 meta-mask byte/block
-//   out_maskbytes  : uint8[mb_cap] packed nonzero mask bytes
-//   out_values     : int16[val_cap] packed nonzero coefficients
-//   out_counts     : int64[2] = {maskbytes written, values written}
+//   out_gaps    : uint8[cap]  strictly-positive position deltas (+ fillers)
+//   out_vals    : int8[cap]   clamped coefficients, same count as gaps
+//   out_sgaps   : uint8[scap] spill-stream position deltas (+ fillers)
+//   out_sdeltas : int16[scap] spill remainders (v - clamp(v))
+//   out_counts  : int64[2] = {entries written, spill entries written}
 //
 // Returns n on success; a frame index 0 <= i < n at the first parse error
-// or geometry mismatch; kErrValCap/kErrMaskCap (-100/-101) when a stream
+// or geometry mismatch; kErrValCap/kErrSpillCap (-100/-102) when a stream
 // capacity is exceeded (retry with larger buffers).
-int vbs_mjpeg_batch_y_coeffs_packed(const uint8_t* data,
-                                    const int64_t* offsets,
-                                    const int32_t* sizes, int n,
-                                    uint8_t* out_block_meta,
-                                    uint8_t* out_maskbytes, int64_t mb_cap,
-                                    int16_t* out_values, int64_t val_cap,
-                                    int64_t* out_counts, int blocks_per_frame,
-                                    int* out_meta, uint16_t* out_qtable) {
+int vbs_mjpeg_batch_y_coeffs_delta(const uint8_t* data,
+                                   const int64_t* offsets,
+                                   const int32_t* sizes, int n,
+                                   uint8_t* out_gaps, int8_t* out_vals,
+                                   int64_t cap, uint8_t* out_sgaps,
+                                   int16_t* out_sdeltas, int64_t scap,
+                                   int64_t* out_counts, int blocks_per_frame,
+                                   int* out_meta, uint16_t* out_qtable) {
   int meta[4];
-  PackedSink sink{out_block_meta, out_maskbytes, mb_cap, 0,
-                  out_values,     val_cap,       0,      0};
+  DeltaSink sink{out_gaps, out_vals, cap, 0, out_sgaps, out_sdeltas, scap, 0};
   std::vector<int16_t> stage;
   std::vector<uint64_t> stage_mask;
   for (int i = 0; i < n; ++i) {
-    sink.meta_base = static_cast<int64_t>(i) * blocks_per_frame;
+    sink.frame_base = static_cast<int64_t>(i) * blocks_per_frame * 64;
     const int rc = decode_y(data + offsets[i], sizes[i], sink,
                             blocks_per_frame, i == 0 ? out_meta : meta,
                             out_qtable + static_cast<size_t>(i) * 64, &stage,
                             &stage_mask);
-    if (rc == kErrValCap || rc == kErrMaskCap) return rc;
+    if (rc == kErrValCap || rc == kErrSpillCap) return rc;
     if (rc != 0) return i;
     if (i > 0 && (meta[0] != out_meta[0] || meta[1] != out_meta[1] ||
                   meta[2] != out_meta[2] || meta[3] != out_meta[3]))
       return i;
   }
-  out_counts[0] = sink.mb_n;
-  out_counts[1] = sink.val_n;
+  out_counts[0] = sink.n;
+  out_counts[1] = sink.sn;
   return n;
 }
 
