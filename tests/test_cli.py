@@ -257,6 +257,39 @@ def test_cli_run_live_with_publisher(capsys):
     assert "tilt_deg" in st and st["frames_seen"] >= 2
 
 
+def test_cli_run_live_tpu_decode(capsys):
+    """run-live --tpu-decode: the live stream's JPEGs feed the pipeline
+    through the delta-scatter transport (host entropy decode only) —
+    tracked output must appear exactly as with host decode."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from vision_basedsensor_tpu.capture import CameraHandler, StreamingServer
+    from vision_basedsensor_tpu.capture.server import SyntheticCamera
+    from vision_basedsensor_tpu.config import CaptureConfig
+    from vision_basedsensor_tpu.native import load_jpeg_lib
+    from vision_basedsensor_tpu.synth import default_scene
+
+    if load_jpeg_lib() is None:
+        _pytest.skip("no C++ compiler for the native entropy decoder")
+
+    cap_cfg = dataclasses.replace(CaptureConfig(), port=0, width=320,
+                                  height=240, fps=30)
+    scene = default_scene(240, 320)
+    camera = CameraHandler(cap_cfg, None,
+                           synthetic=SyntheticCamera(cap_cfg, scene))
+    server = StreamingServer(cap_cfg, camera)
+    server.start()
+    try:
+        main(["run-live", f"http://127.0.0.1:{server.port}/stream",
+              "--batch", "2", "--max-frames", "4", "--tpu-decode"])
+    finally:
+        server.stop()
+    out = capsys.readouterr().out
+    assert "tracked" in out and "/65 markers" in out
+
+
 def test_cli_track_annotate_crop_draws_in_cropped_space(video_npy, tmp_path):
     """Review finding (round 2): --annotate drew tracked (post-crop)
     coordinates onto the RAW frames, offsetting every overlay by the crop

@@ -130,6 +130,57 @@ def test_live_mjpeg_loop():
         server.stop()
 
 
+def test_stream_reader_drops_oldest_and_propagates_errors(monkeypatch):
+    """Live sources drain the socket in a background thread with a bounded
+    drop-oldest buffer (round-3 fix): on the real chip the pipeline's
+    first-batch compile takes minutes, during which a consumer-driven
+    socket goes unread — the server's writer stalls and the client read
+    times out. A slow consumer must instead see the LATEST frames, with
+    drops counted, and a reader-side exception must surface in the
+    consumer, not vanish in the thread."""
+    import time as _time
+
+    import vision_basedsensor_tpu.io.mjpeg as mjpeg_mod
+
+    frames = [bytes([i]) * 4 for i in range(30)]
+
+    def fake_iter(url, boundary=None, timeout=10.0, max_frames=None):
+        for i, fb in enumerate(frames):
+            if url == "err" and i == 5:
+                raise ConnectionError("stream died")
+            yield fb
+
+    monkeypatch.setattr(mjpeg_mod, "iter_mjpeg_bytes", fake_iter)
+
+    # Slow consumer: the producer finishes (all 30 frames read, i.e. the
+    # socket never blocked on us) while we sleep before consuming; the
+    # deque keeps only the newest maxlen frames.
+    reader = mjpeg_mod._StreamReader("ok", None, maxlen=8)
+    reader._thread.join(5.0)    # producer drains everything unconsumed
+    assert not reader._thread.is_alive()
+    got = list(reader.frames())
+    assert got == frames[-8:]           # latest 8, oldest dropped
+    assert reader.dropped == 30 - 8
+
+    # A mid-stream gap reconnects (with backoff) up to the retry budget;
+    # the error surfaces to the consumer only once that's exhausted.
+    reader = mjpeg_mod._StreamReader("err", None, maxlen=64, reconnects=2)
+    with pytest.raises(ConnectionError):
+        list(reader.frames())
+    assert reader.reconnects == 2
+
+    # A URL that never produces fails fast — no reconnect loop.
+    def dead_iter(url, boundary=None, timeout=10.0, max_frames=None):
+        raise ConnectionError("refused")
+        yield  # pragma: no cover
+
+    monkeypatch.setattr(mjpeg_mod, "iter_mjpeg_bytes", dead_iter)
+    reader = mjpeg_mod._StreamReader("x", None, maxlen=8)
+    with pytest.raises(ConnectionError):
+        list(reader.frames())
+    assert reader.reconnects == 0
+
+
 def test_state_publisher_poll_and_events():
     """The contact-state publisher (io/publish.py): /state long-poll, /events
     SSE, /healthz — the production serving endpoint the robot controller

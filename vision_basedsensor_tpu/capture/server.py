@@ -102,19 +102,38 @@ class SyntheticCamera:
 
     def __init__(self, cfg: CaptureConfig, scene=None):
         self.cfg = cfg
+        if scene is not None:
+            # A camera is a HOST device: its renders must run on CPU,
+            # never the accelerator. read() runs on the capture THREAD,
+            # and through the axon relay a TPU computation issued from a
+            # non-main thread hangs forever (measured); even without the
+            # relay it would queue behind whatever the consumer is
+            # compiling on the chip (minutes for the pipeline's first
+            # batch), starving the stream until clients time out.
+            # default_device at render time is not enough — a scene built
+            # under the TPU platform has TPU-committed leaves that drag
+            # the op back to the accelerator — so pin the scene's arrays
+            # to CPU here, on the constructing (main) thread.
+            import jax
+            cpu = jax.devices("cpu")[0]
+            scene = jax.tree.map(
+                lambda a: jax.device_put(a, cpu)
+                if isinstance(a, jax.Array) else a, scene)
         self._scene = scene
         self._t = 0
 
     def read(self) -> np.ndarray:
         self._t += 1
         if self._scene is not None:
+            import jax
             import jax.numpy as jnp
 
             from vision_basedsensor_tpu.synth import render_frames
             phase = 0.5 * (1 + np.sin(self._t / 20.0))
             d = np.zeros((1, 65, 3), np.float32)
             d[:, :, 2] = -phase
-            f = np.asarray(render_frames(self._scene, jnp.asarray(d)))[0]
+            with jax.default_device(jax.devices("cpu")[0]):
+                f = np.asarray(render_frames(self._scene, jnp.asarray(d)))[0]
             return np.repeat(f[..., None], 3, -1).astype(np.uint8)
         img = np.zeros((self.cfg.height, self.cfg.width, 3), np.uint8)
         # Blocky "NO CAMERA" banner, drawable without cv2.

@@ -601,7 +601,11 @@ def cmd_run_live(args):
             cam = sess.calibration.to_camera()
         print(f"resumed session from {args.resume}")
     sp = StreamingPipeline(cam, cfg, ref=ref, carry=carry, assoc_xy=assoc_xy)
-    src = MjpegVideoSource(args.url, max_frames=args.max_frames)
+    if args.tpu_decode:
+        from vision_basedsensor_tpu.io.mjpeg import MjpegTpuVideoSource
+        src = MjpegTpuVideoSource(args.url, max_frames=args.max_frames)
+    else:
+        src = MjpegVideoSource(args.url, max_frames=args.max_frames)
     pub = None
     if args.publish is not None:
         from vision_basedsensor_tpu.io.publish import (StatePublisher,
@@ -627,6 +631,9 @@ def cmd_run_live(args):
         # be written on any exit path, not only clean exhaustion.
         if pub is not None:
             pub.close()
+        if getattr(src, "last_dropped", 0):
+            print(f"note: {src.last_dropped} stream frame(s) skipped to "
+                  "stay current (pipeline slower than stream)", flush=True)
         if args.resume and sp.ref is not None:
             save_session(args.resume, sp.ref, cfg, calibration=calibration,
                          scan_carry=sp.carry, assoc_xy=sp.assoc_xy)
@@ -817,6 +824,12 @@ def main(argv=None):
                     help="bind address for --publish (default loopback; "
                          "the endpoint has no auth — use 0.0.0.0 only on "
                          "an isolated robot LAN)")
+    rl.add_argument("--tpu-decode", action="store_true",
+                    help="decode the stream's JPEGs on the TPU via the "
+                         "delta-scatter sparse transport (host does only "
+                         "the Huffman entropy decode; ~51 KB/frame cross "
+                         "the link instead of the raw frame) — for weak "
+                         "hosts / thin links; needs a C++ compiler")
     rl.set_defaults(fn=cmd_run_live)
 
     sv = sub.add_parser("serve", help="MJPEG acquisition server")

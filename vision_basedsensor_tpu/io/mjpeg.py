@@ -8,10 +8,17 @@ frames and feeds them straight into the batched TPU pipeline (see
 """
 from __future__ import annotations
 
+import collections
+import threading
+import time
 import urllib.request
 from typing import Iterator
 
 import numpy as np
+
+from vision_basedsensor_tpu.utils.log import get_logger
+
+_log = get_logger(__name__)
 
 try:
     import cv2 as _cv2
@@ -115,25 +122,170 @@ def iter_mjpeg(url: str, boundary: bytes | None = None,
         yield _decode_jpeg(frame_bytes)
 
 
+class _StreamReader:
+    """Background socket reader for live MJPEG sources.
+
+    A live stream's socket must never be driven by the compute consumer:
+    the pipeline's first-batch TPU compile can take minutes, during which
+    a directly-driven socket goes unread — the acquisition server's writer
+    thread stalls on a full send buffer and the eventual client read times
+    out (observed on the real chip). The reader thread drains the socket
+    at stream rate into a bounded drop-oldest deque. These are also the
+    right *serving* semantics for the closed robot loop (README.md:124
+    pose compensation): a slow consumer sees the LATEST frames, never a
+    growing stale backlog.
+    """
+
+    def __init__(self, url: str, max_frames: int | None, maxlen: int,
+                 reconnects: int = 3):
+        self._dq: collections.deque = collections.deque(maxlen=maxlen)
+        self._cond = threading.Condition()
+        self._done = False
+        self._err: Exception | None = None
+        self.dropped = 0
+        self.reconnects = 0
+        self._thread = threading.Thread(
+            target=self._run, args=(url, max_frames, reconnects),
+            daemon=True)
+        self._thread.start()
+
+    def _push(self, jb: bytes) -> None:
+        with self._cond:
+            if len(self._dq) == self._dq.maxlen:
+                self.dropped += 1
+            self._dq.append(jb)
+            self._cond.notify()
+
+    def _run(self, url: str, max_frames: int | None,
+             reconnects: int) -> None:
+        # Transient stream gaps (camera hiccup, wifi blip, server restart)
+        # reconnect with backoff rather than killing the live session —
+        # but only if the stream ever produced, so a wrong URL still
+        # fails fast.
+        count = 0
+        try:
+            while max_frames is None or count < max_frames:
+                got_any = False
+                try:
+                    remaining = (None if max_frames is None
+                                 else max_frames - count)
+                    for jb in iter_mjpeg_bytes(url, max_frames=remaining):
+                        got_any = True
+                        count += 1
+                        self._push(jb)
+                    break  # clean end of stream
+                except (TimeoutError, ConnectionError, OSError):
+                    if not got_any or self.reconnects >= reconnects:
+                        raise
+                    self.reconnects += 1
+                    _log.warning("live stream gap on %s — reconnecting "
+                                 "(%d/%d)", url, self.reconnects, reconnects)
+                    time.sleep(0.5 * self.reconnects)
+        except Exception as e:  # surfaced to the consumer, not swallowed
+            self._err = e
+        finally:
+            with self._cond:
+                self._done = True
+                self._cond.notify_all()
+            if self.dropped:
+                _log.info("live stream ended: %d frame(s) dropped to stay "
+                          "current (consumer slower than stream)",
+                          self.dropped)
+
+    def frames(self) -> Iterator[bytes]:
+        while True:
+            with self._cond:
+                while not self._dq and not self._done:
+                    self._cond.wait(0.5)
+                if self._dq:
+                    jb = self._dq.popleft()
+                elif self._done:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                else:  # pragma: no cover - spurious wake
+                    continue
+            yield jb
+
+
 class MjpegVideoSource:
-    """VideoSource adapter over a live MJPEG stream."""
+    """VideoSource adapter over a live MJPEG stream.
+
+    The socket is drained by a :class:`_StreamReader` thread; the consumer
+    gets drop-oldest latest-frame semantics (``last_dropped`` counts what
+    a slow consumer skipped over the life of the last ``batches`` run).
+    """
 
     def __init__(self, url: str, fps: float = 12.0,
                  max_frames: int | None = None):
         self.url = url
         self._fps = fps
         self._max = max_frames
+        self.last_dropped = 0
 
     @property
     def fps(self) -> float:
         return self._fps
 
     def batches(self, batch_size: int):
+        reader = _StreamReader(self.url, self._max,
+                               maxlen=max(2 * batch_size, 8))
         buf = []
-        for frame in iter_mjpeg(self.url, max_frames=self._max):
-            buf.append(frame)
+        for jb in reader.frames():
+            buf.append(_decode_jpeg(jb))
             if len(buf) == batch_size:
                 yield np.stack(buf)
                 buf = []
+            self.last_dropped = reader.dropped
+        self.last_dropped = reader.dropped
         if buf:
             yield np.stack(buf)
+
+
+class MjpegTpuVideoSource:
+    """Live MJPEG stream decoded ON the TPU (delta-scatter transport).
+
+    The streaming analog of :class:`io.video.MjpegAviTpuSource` — the host
+    does only the native Huffman entropy decode per received JPEG; ~2-3
+    bytes per nonzero DCT coefficient cross the host->device link (vs the
+    full raw frame) and dequant+IDCT run as batched MXU matmuls
+    (ops/jpeg.py). This is the serving path for weak hosts and thin links:
+    the robot-side `run-live --tpu-decode` loop (README.md:124's pose
+    compensation) never pays a host IDCT.
+
+    Yields committed DEVICE float32 gray batches. Raises at construction
+    when the native decoder can't be built — callers fall back to
+    :class:`MjpegVideoSource`.
+    """
+
+    def __init__(self, url: str, fps: float = 12.0,
+                 max_frames: int | None = None):
+        from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+        self.url = url
+        self._fps = fps
+        self._max = max_frames
+        self._dec = MjpegBatchDecoder()
+        self.last_dropped = 0
+
+    @property
+    def fps(self) -> float:
+        return self._fps
+
+    @property
+    def last_stats(self) -> dict | None:
+        """Byte accounting of the most recent batch (ops/jpeg.py)."""
+        return self._dec.last_stats
+
+    def batches(self, batch_size: int):
+        reader = _StreamReader(self.url, self._max,
+                               maxlen=max(2 * batch_size, 8))
+        buf = []
+        for jb in reader.frames():
+            buf.append(jb)
+            if len(buf) == batch_size:
+                yield self._dec.decode_packed(buf)
+                buf = []
+            self.last_dropped = reader.dropped
+        self.last_dropped = reader.dropped
+        if buf:
+            yield self._dec.decode_packed(buf)
