@@ -87,13 +87,39 @@ def main(batch: int = 256, iters: int = 6):
         sums = moments_from_patches(patches, pstart, peaks, geom, prof, w)
         return sums.sum()
 
+    def s4p(gray):
+        from vision_basedsensor_tpu.ops.pallas.moments import \
+            gather_windows_paired
+        packed, peaks = _to_peaks(gray)
+        geom = jax.vmap(cut_geometry)(peaks)
+        patches, pstart = gather_windows_paired(packed, peaks, geom, prof)
+        return patches[..., 0, :].sum() + pstart.sum()
+
+    def s5p(gray):
+        from vision_basedsensor_tpu.ops.moments import \
+            moments_from_patches_paired
+        from vision_basedsensor_tpu.ops.pallas.moments import \
+            gather_windows_paired
+        packed, peaks = _to_peaks(gray)
+        geom = jax.vmap(cut_geometry)(peaks)
+        patches, pstart = gather_windows_paired(packed, peaks, geom, prof)
+        sums = moments_from_patches_paired(patches, pstart, peaks, geom,
+                                           prof, w)
+        return sums.sum()
+
     def s6(gray):
         det, scale = detect_markers_and_scale(gray, cfg)
         return det.xy.sum() + det.score.sum() + scale
 
+    # The two (paired) rows are ALTERNATIVES to the rows above them —
+    # compare their absolute values against +cut_geom+gather /
+    # +moments_from_patches; the printed "+delta" column only means
+    # "vs previous row" for the cumulative rows.
     stages = [("filters(DoG+NCC)", s1), ("+fused_fields", s2),
               ("+select_peaks(top_k)", s3), ("+cut_geom+gather", s4),
-              ("+moments_from_patches", s5), ("full detect", s6)]
+              ("+moments_from_patches", s5),
+              ("alt: gather paired", s4p), ("alt: moments paired", s5p),
+              ("full detect", s6)]
 
     prev = 0.0
     for name, fn in stages:

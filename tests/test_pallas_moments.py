@@ -182,6 +182,97 @@ def test_gather_path_right_border_peak_matches_xla():
     np.testing.assert_allclose(a[fin], b[fin], rtol=1e-4, atol=5e-3)
 
 
+def test_paired_gather_sums_match_xla(fields):
+    """Paired windows (two peaks per 128-lane row, round 3): identical sums
+    to window_sums_xla on the rendered scene's real peak set."""
+    from vision_basedsensor_tpu.ops.moments import moments_from_patches_paired
+    from vision_basedsensor_tpu.ops.pallas.moments import gather_windows_paired
+
+    cfg, prof, gray, band, area_open, peaks = fields
+    geom = cut_geometry(peaks)
+    packed = gray + 256.0 * band + 512.0 * area_open
+    s_xla = np.asarray(window_sums_xla(band, area_open, gray, peaks, geom,
+                                       prof))
+    import jax
+    bp = jax.tree.map(lambda v: v[None], peaks)
+    bg = jax.tree.map(lambda v: v[None], geom)
+    patches, pstart = gather_windows_paired(packed[None], bp, bg, prof)
+    assert patches.shape[1] == cfg.max_candidates // 2
+    s_pair = np.asarray(moments_from_patches_paired(
+        patches, pstart, bp, bg, prof, gray.shape[-1]))[0]
+    valid = np.asarray(peaks.valid)
+    a, b = s_xla[valid], s_pair[valid]
+    fin = np.isfinite(a)
+    np.testing.assert_array_equal(fin, np.isfinite(b))
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=2e-2)
+
+
+def test_paired_gather_border_peaks_match_xla():
+    """Paired windows at every border/corner + right-edge wrap (the garbage
+    columns of BOTH slots must stay excluded), mirroring
+    test_gather_path_right_border_peak_matches_xla, plus bottom-edge peaks
+    whose 8-aligned row start clips."""
+    import jax
+
+    from vision_basedsensor_tpu.config import PipelineConfig
+    from vision_basedsensor_tpu.ops.moments import moments_from_patches_paired
+    from vision_basedsensor_tpu.ops.pallas.moments import gather_windows_paired
+    from vision_basedsensor_tpu.ops.peaks import Peaks
+
+    cfg = PipelineConfig().detect
+    prof = cfg.low_res
+    rng = np.random.default_rng(7)
+    h, w = 240, 384
+    gray = jnp.asarray(rng.integers(0, 256, (1, h, w)), jnp.float32)
+    band = jnp.asarray(rng.random((1, h, w)) > 0.7, jnp.float32)
+    area_open = jnp.asarray(rng.random((1, h, w)) > 0.6, jnp.float32)
+    packed = gray + 256.0 * band + 512.0 * area_open
+
+    k = cfg.max_candidates
+    edge_xy = np.full((k, 2), 60.0, np.float32)
+    # Both slots of a pair near the right border; corners; bottom edge.
+    edge_xy[:10] = [[w - 5, h / 2], [w - 1.3, h / 2], [w - 17.5, 40.0],
+                    [w - 5, 1.5], [w - 5, h - 2.0], [1.5, 1.5],
+                    [1.5, h - 1.5], [w / 2, h - 1.2], [w / 2, h / 2],
+                    [w - 2.0, h - 2.0]]
+    valid = jnp.arange(k) < 10
+    peaks = Peaks(xy=jnp.asarray(edge_xy), score=jnp.ones(k), valid=valid)
+    geom = cut_geometry(peaks)
+
+    s_xla = np.asarray(window_sums_xla(band[0], area_open[0], gray[0],
+                                       peaks, geom, prof))
+    bp = jax.tree.map(lambda v: v[None], peaks)
+    bg = jax.tree.map(lambda v: v[None], geom)
+    patches, pstart = gather_windows_paired(packed, bp, bg, prof)
+    s_pair = np.asarray(moments_from_patches_paired(patches, pstart, bp, bg,
+                                                    prof, w))[0]
+    v = np.asarray(valid)
+    a, b = s_xla[v], s_pair[v]
+    fin = np.isfinite(a)
+    np.testing.assert_array_equal(fin, np.isfinite(b))
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-4, atol=5e-3)
+
+
+def test_paired_gather_rejects_odd_k_and_wide_patches(fields):
+    import dataclasses
+
+    from vision_basedsensor_tpu.ops.pallas.moments import gather_windows_paired
+
+    cfg, prof, gray, band, area_open, peaks = fields
+    import jax
+    geom = cut_geometry(peaks)
+    packed = gray + 256.0 * band + 512.0 * area_open
+    bp = jax.tree.map(lambda v: v[None, :95], peaks)
+    bg = jax.tree.map(lambda v: v[None, :95], geom)
+    with pytest.raises(ValueError, match="even"):
+        gather_windows_paired(packed[None], bp, bg, prof)
+    wide = dataclasses.replace(prof, patch_size=72, radial_cutoff_px=30.0)
+    bp = jax.tree.map(lambda v: v[None], peaks)
+    bg = jax.tree.map(lambda v: v[None], geom)
+    with pytest.raises(ValueError, match="patch_size <= 64"):
+        gather_windows_paired(packed[None], bp, bg, wide)
+
+
 def test_pallas_rejects_unaligned_heights(fields):
     """H % 8 != 0 would break the 8-aligned DMA-start promise for
     bottom-edge peaks (clip lands on h - rows_block, not a multiple of 8)

@@ -634,6 +634,13 @@ def cmd_run_live(args):
         if getattr(src, "last_dropped", 0):
             print(f"note: {src.last_dropped} stream frame(s) skipped to "
                   "stay current (pipeline slower than stream)", flush=True)
+        st = getattr(src, "last_stats", None)
+        if st and st.get("transport") == "packed":
+            per = st["bytes_shipped"] / max(1, st["frames"])
+            dense = st["bytes_dense"] / max(1, st["frames"])
+            print(f"tpu-decode transport: {per / 1024:.1f} KB/frame over "
+                  f"the link ({dense / 1024:.0f} KB dense equivalent)",
+                  flush=True)
         if args.resume and sp.ref is not None:
             save_session(args.resume, sp.ref, cfg, calibration=calibration,
                          scan_carry=sp.carry, assoc_xy=sp.assoc_xy)

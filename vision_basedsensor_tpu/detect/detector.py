@@ -196,8 +196,27 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
         # peak (the lo/hi-dependent soft weights) put the loop back in the
         # vector-issue-bound regime, and Mosaic's sequential grouped
         # reductions cost more than the patch tensor's HBM round-trip.
-        patches, pstart = gather_windows(packed, peaks, geom, profile)
-        sums = moments_from_patches(patches, pstart, peaks, geom, profile, w)
+        # Paired windows (two peaks per 128-lane row) halve both the patch
+        # tensor and the reductions' element count — the reductions are
+        # vector-issue-bound, so lane-padding single windows to 128 wastes
+        # half the vector throughput. Measured e2e at B=1024: 9,750 ->
+        # 11,073-11,424 fps (the slot finish must be masked reductions,
+        # not a lane reshape — benchmarks/README.md). Needs even K and
+        # patch <= 64 (the 64-lane slot provably holds every gateable
+        # pixel; both built-in profiles qualify).
+        if cfg.max_candidates % 2 == 0 and profile.patch_size <= 64:
+            from vision_basedsensor_tpu.ops.moments import \
+                moments_from_patches_paired
+            from vision_basedsensor_tpu.ops.pallas.moments import \
+                gather_windows_paired
+            patches, pstart = gather_windows_paired(packed, peaks, geom,
+                                                    profile)
+            sums = moments_from_patches_paired(patches, pstart, peaks, geom,
+                                               profile, w)
+        else:
+            patches, pstart = gather_windows(packed, peaks, geom, profile)
+            sums = moments_from_patches(patches, pstart, peaks, geom,
+                                        profile, w)
     else:
         ncc_mask = (ncc > cfg.ncc_threshold).astype(jnp.float32)
         # Boundary band of the NCC mask: mask pixels whose band_window

@@ -237,6 +237,100 @@ def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
                      + [lo, hi, red(cut)] + m3(w), axis=-1)
 
 
+def moments_from_patches_paired(patches: jnp.ndarray, start: jnp.ndarray,
+                                peaks: Peaks, geom: CutGeometry,
+                                profile: DetectProfile,
+                                width: int) -> jnp.ndarray:
+    """Paired-window variant of :func:`moments_from_patches`.
+
+    ``patches`` ``(..., K//2, R, 128)`` pack TWO peaks' windows per
+    128-lane row (window ``2*k2 + j`` in lanes ``[64*j, 64*j + 64)``,
+    ops/pallas/moments.py:gather_windows_paired). The reductions here are
+    vector-issue-bound, not HBM-bound (measured ~22 us/frame of ~103 with
+    XLA fusing all 28 sums into one pass), so halving the element count is
+    the lever the lane-padding of single-window rows wastes. Per-window
+    scalars (patch origin, peak, halfplanes) become per-lane-group columns
+    via a static repeat; the final per-window split is a (2, 64) lane-group
+    reshape of the fused row-sums. Output layout identical to
+    :func:`window_sums_xla`: ``(..., K, NUM_SUMS)``.
+    """
+    r_, c_ = patches.shape[-2:]
+    if c_ != 128:
+        raise ValueError(f"paired patches must have 128 lanes, got {c_}")
+    k2 = patches.shape[-3]
+    f = jnp.float32
+
+    local = (jnp.arange(c_) % 64).astype(f)                  # lane-local col
+
+    def lane_expand(q):      # (..., K) -> (..., K2, 128), window j in 64*j+
+        return jnp.repeat(q.reshape(*q.shape[:-1], k2, 2).astype(f), 64,
+                          axis=-1)
+
+    sx_l = lane_expand(start[..., 0])
+    offx = lane_expand(start[..., 0].astype(f) - peaks.xy[..., 0])
+    offy = lane_expand(start[..., 1].astype(f) - peaks.xy[..., 1])
+    dx = offx[..., None, :] + local                          # (..., K2, 1, C)
+    dy = offy[..., None, :] + jnp.arange(r_, dtype=f)[:, None]  # (..., K2, R, C)
+
+    in_image = (sx_l + local) < float(width)                 # (..., K2, C)
+    keep = ((dx * dx + dy * dy) <= profile.radial_cutoff_px ** 2) \
+        & in_image[..., None, :]
+    rhs = jnp.minimum(geom.rhs, 3e38)
+    for j in range(3):
+        keep = keep & ((dx * lane_expand(geom.ex[..., j])[..., None, :]
+                        + dy * lane_expand(geom.ey[..., j])[..., None, :])
+                       <= lane_expand(rhs[..., j])[..., None, :] + 1e-3)
+    cut = keep.astype(f)
+
+    band, area, gray = unpack_packed_field(patches)
+    b = band * cut
+    a = area * cut
+
+    # Slot-group finishes WITHOUT reshaping the hot tensor: a lane reshape
+    # of a fused row-reduce makes XLA materialize a (.., K2, 128) partial
+    # PER MOMENT once `sums` has real consumers (measured: full detect
+    # regressed 9,732 -> 8,741 fps at B=1024 while the sums-only chained
+    # ablation still looked faster). Two masked full reductions per moment
+    # keep every sum inside the single fused pass over the patch tensor.
+    slot0 = (jnp.arange(c_) < 64)
+
+    def interleave(s0, s1):  # (..., K2) x2 -> (..., K), window 2*k2+j
+        return jnp.stack([s0, s1], axis=-1).reshape(*s0.shape[:-1], 2 * k2)
+
+    g_in = jnp.where(keep, gray, jnp.inf)
+    lo = interleave(jnp.min(jnp.where(slot0, g_in, jnp.inf), axis=(-2, -1)),
+                    jnp.min(jnp.where(slot0, jnp.inf, g_in), axis=(-2, -1)))
+    g_ax = jnp.where(keep, gray, -jnp.inf)
+    hi = interleave(
+        jnp.max(jnp.where(slot0, g_ax, -jnp.inf), axis=(-2, -1)),
+        jnp.max(jnp.where(slot0, -jnp.inf, g_ax), axis=(-2, -1)))
+    hi_l = lane_expand(hi)[..., None, :]
+    lo_l = lane_expand(lo)[..., None, :]
+    contrast = jnp.maximum(hi_l - lo_l, 1e-3)
+    w = jnp.clip((hi_l - gray) / contrast, 0.0, 1.0)
+    w = soft_weight_remap(w, profile.soft_floor) * cut
+    wh = (w >= 0.5).astype(f)
+
+    m0 = slot0.astype(f)
+
+    def red(v):
+        return interleave(jnp.sum(v * m0, axis=(-2, -1)),
+                          jnp.sum(v - v * m0, axis=(-2, -1)))
+
+    def m(v):
+        return [red(v), red(v * dx), red(v * dy)]
+
+    def m2(v):
+        return [red(v * dx * dx), red(v * dy * dy), red(v * dx * dy)]
+
+    def m3(v):
+        return [red(v * dx * dx * dx), red(v * dx * dx * dy),
+                red(v * dx * dy * dy), red(v * dy * dy * dy)]
+
+    return jnp.stack(m(b) + m(a) + m2(a) + m(w) + m2(w) + m(wh) + m2(wh)
+                     + [lo, hi, red(cut)] + m3(w), axis=-1)
+
+
 class Finalized(NamedTuple):
     band_center: jnp.ndarray   # (K, 2)
     photo_center: jnp.ndarray  # (K, 2)

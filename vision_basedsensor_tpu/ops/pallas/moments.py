@@ -400,6 +400,128 @@ def gather_windows(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
     return out, start
 
 
+def _gather_paired_kernel(start_ref, packed_hbm, out_ref, rows, sems, *,
+                          rows_block: int, cols_block: int, out_rows: int,
+                          n_slots: int):
+    """Two peaks' windows per 128-lane output row (window ``2*k2 + j`` in
+    lanes ``[64*j, 64*j + 64)``).
+
+    Every pixel that can pass the downstream gates (cutoff disk ∩ in-image
+    ∩ halfplanes) lies within 64 columns of the clipped patch start for
+    both built-in profiles (half + cutoff + 0.5 <= 62.5; right-clipped
+    patches are bounded by the in-image gate at col < patch_size <= 64), so
+    a 64-lane slot per window loses nothing — while halving the patch
+    tensor and, more importantly, halving the element count of the batched
+    XLA moment reductions, which are vector-issue-bound (the measured cost
+    driver at ~22 us/frame of ~103).
+    """
+    frame = pl.program_id(0)
+    k2_total = out_ref.shape[1]
+    k_total = 2 * k2_total
+
+    def _dma(slot, k):
+        y0 = pl.multiple_of(start_ref[0, k, 1], 8)
+        x0 = pl.multiple_of(start_ref[0, k, 2], 128)
+        return pltpu.make_async_copy(
+            packed_hbm.at[frame, pl.ds(y0, rows_block), pl.ds(x0, cols_block)],
+            rows.at[slot],
+            sems.at[slot],
+        )
+
+    for p in range(min(n_slots, k_total)):
+        _dma(p, p).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 128), 1)
+
+    def body(k2, _):
+        halves = []
+        for j in range(2):
+            k = 2 * k2 + j
+            slot = jax.lax.rem(k, n_slots)
+            _dma(slot, k).wait()
+            sx = start_ref[0, k, 0] - start_ref[0, k, 2]
+            sy = start_ref[0, k, 3] - start_ref[0, k, 1]
+            # Patch start moves to lane 64*j / row 0 (index i -> i + shift).
+            cshift = jax.lax.rem(
+                jnp.int32(cols_block) - sx + jnp.int32(64 * j),
+                jnp.int32(cols_block))
+            rshift = jax.lax.rem(jnp.int32(rows_block) - sy,
+                                 jnp.int32(rows_block))
+            v = pltpu.roll(pltpu.roll(rows[slot], cshift, 1), rshift, 0)
+            halves.append(v[:out_rows, :128])
+            # The consumed slot immediately prefetches its next occupant.
+            @pl.when(k + n_slots < k_total)
+            def _():
+                _dma(slot, k + n_slots).start()
+        out_ref[0, k2] = jnp.where(lane < 64, halves[0], halves[1])
+        return ()
+
+    jax.lax.fori_loop(0, k2_total, body, ())
+
+
+def gather_windows_paired(packed: jnp.ndarray, peaks: Peaks,
+                          geom: CutGeometry, profile: DetectProfile,
+                          interpret: bool | None = None,
+                          n_slots: int = 4):
+    """Like :func:`gather_windows` but packing TWO windows per 128-lane row:
+    returns ``(patches, start)`` with ``patches`` ``(B, K//2, patch, 128)``
+    (window ``2*k2 + j`` in lanes ``[64*j, 64*j + 64)``) and ``start``
+    ``(B, K, 2)`` the exact clipped patch origins. Consumed by
+    ``ops.moments.moments_from_patches_paired``. Requires an even peak
+    count and ``patch_size <= 64`` (both built-in profiles qualify)."""
+    squeeze = packed.ndim == 2
+    if squeeze:
+        packed = packed[None]
+        peaks = jax.tree.map(lambda v: v[None], peaks)
+        geom = jax.tree.map(lambda v: v[None], geom)
+    b_frames, h, w = packed.shape
+    k = peaks.xy.shape[-2]
+    if k % 2 != 0:
+        raise ValueError(f"paired gather needs an even peak count, got {k}")
+    if profile.patch_size > 64:
+        raise ValueError(f"paired gather needs patch_size <= 64, got "
+                         f"{profile.patch_size} (64-lane slot per window)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    start_a, _, rows_block, cols_block, cx, cy = _prep(h, w, peaks, geom,
+                                                       profile)
+    out_rows = profile.patch_size        # multiple of 8 in both profiles
+    # SMEM quad per peak: exact x, aligned y, aligned x, exact y.
+    start4 = jnp.concatenate([cx[..., None], start_a[..., 1:],
+                              start_a[..., :1], cy[..., None]], axis=-1)
+
+    kern = functools.partial(_gather_paired_kernel, rows_block=rows_block,
+                             cols_block=cols_block, out_rows=out_rows,
+                             n_slots=n_slots)
+    out = pl.pallas_call(
+        kern,
+        grid=(b_frames,),
+        out_shape=jax.ShapeDtypeStruct((b_frames, k // 2, out_rows, 128),
+                                       jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, k, 4), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),   # start quad
+            pl.BlockSpec(memory_space=pl.ANY),       # packed (B, H, W)
+        ],
+        out_specs=pl.BlockSpec((1, k // 2, out_rows, 128),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, rows_block, cols_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=k * out_rows * 128 * 4
+            + n_slots * rows_block * cols_block * 4
+            + 8 * 1024 * 1024),
+        interpret=interpret,
+    )(start4, packed)
+    start = jnp.stack([cx, cy], axis=-1)
+    if squeeze:
+        return out[0], start[0]
+    return out, start
+
+
 def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
                        gray: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
                        profile: DetectProfile,
