@@ -253,6 +253,54 @@ def test_paired_gather_border_peaks_match_xla():
     np.testing.assert_allclose(a[fin], b[fin], rtol=1e-4, atol=5e-3)
 
 
+def test_paired_gather_high_res_profile_matches_xla():
+    """High-res profile is the TIGHT case for the 64-lane slot: patch 64
+    fills the slot exactly and the lane-63 radial exclusion margin is
+    0.5 px (dx >= 30.5 vs cutoff 30). Random fields + border/interior
+    peaks must still match window_sums_xla exactly."""
+    import jax
+
+    from vision_basedsensor_tpu.config import PipelineConfig
+    from vision_basedsensor_tpu.ops.moments import moments_from_patches_paired
+    from vision_basedsensor_tpu.ops.pallas.moments import gather_windows_paired
+    from vision_basedsensor_tpu.ops.peaks import Peaks
+
+    cfg = PipelineConfig().detect
+    prof = cfg.high_res
+    assert prof.patch_size == 64
+    rng = np.random.default_rng(11)
+    h, w = 240, 384
+    gray = jnp.asarray(rng.integers(0, 256, (1, h, w)), jnp.float32)
+    band = jnp.asarray(rng.random((1, h, w)) > 0.7, jnp.float32)
+    area_open = jnp.asarray(rng.random((1, h, w)) > 0.6, jnp.float32)
+    packed = gray + 256.0 * band + 512.0 * area_open
+
+    k = cfg.max_candidates
+    xy = rng.uniform([2, 2], [w - 2, h - 2], (k, 2)).astype(np.float32)
+    xy[:8] = [[w - 1.5, h / 2], [1.5, h / 2], [w / 2, 1.5], [w / 2, h - 1.5],
+              [w - 2, h - 2], [2, 2], [w - 33, h / 2], [33, h / 2]]
+    peaks = Peaks(xy=jnp.asarray(xy), score=jnp.ones(k),
+                  valid=jnp.ones(k, bool))
+    geom = cut_geometry(peaks)
+
+    s_xla = np.asarray(window_sums_xla(band[0], area_open[0], gray[0],
+                                       peaks, geom, prof))
+    bp = jax.tree.map(lambda v: v[None], peaks)
+    bg = jax.tree.map(lambda v: v[None], geom)
+    patches, pstart = gather_windows_paired(packed, bp, bg, prof)
+    s_pair = np.asarray(moments_from_patches_paired(patches, pstart, bp, bg,
+                                                    prof, w))[0]
+    fin = np.isfinite(s_xla)
+    np.testing.assert_array_equal(fin, np.isfinite(s_pair))
+    # Gated pixel sets must be IDENTICAL (count column is exact) ...
+    np.testing.assert_array_equal(s_xla[:, 23], s_pair[:, 23])
+    # ... while the high-res 64x64 windows' third-moment terms reach ~4e6
+    # in summed magnitude, so f32 accumulation order alone produces ~1.0
+    # absolute differences (verified: the only mismatches at tighter tol
+    # have exactly-equal counts and lo/hi).
+    np.testing.assert_allclose(s_xla[fin], s_pair[fin], rtol=1e-3, atol=1.0)
+
+
 def test_paired_gather_rejects_odd_k_and_wide_patches(fields):
     import dataclasses
 
