@@ -266,6 +266,7 @@ class MjpegTpuVideoSource:
         self._max = max_frames
         self._dec = MjpegBatchDecoder()
         self.last_dropped = 0
+        self.session_stats: dict | None = None
 
     @property
     def fps(self) -> float:
@@ -273,8 +274,23 @@ class MjpegTpuVideoSource:
 
     @property
     def last_stats(self) -> dict | None:
-        """Byte accounting of the most recent batch (ops/jpeg.py)."""
-        return self._dec.last_stats
+        """Byte accounting ACCUMULATED over the whole session (not just the
+        most recent batch — a tail flush batch's sparsity is not the
+        stream's; the CLI prints this as the per-frame link cost)."""
+        return self.session_stats
+
+    def _decode(self, buf):
+        dev = self._dec.decode_packed(buf)
+        st = self._dec.last_stats
+        if st:
+            if self.session_stats is None:
+                self.session_stats = dict(st)
+            else:
+                for key in ("frames", "nnz", "bytes_shipped", "bytes_dense"):
+                    if key in st:
+                        self.session_stats[key] = (self.session_stats.get(key, 0)
+                                                   + st[key])
+        return dev
 
     def batches(self, batch_size: int):
         reader = _StreamReader(self.url, self._max,
@@ -283,9 +299,9 @@ class MjpegTpuVideoSource:
         for jb in reader.frames():
             buf.append(jb)
             if len(buf) == batch_size:
-                yield self._dec.decode_packed(buf)
+                yield self._decode(buf)
                 buf = []
             self.last_dropped = reader.dropped
         self.last_dropped = reader.dropped
         if buf:
-            yield self._dec.decode_packed(buf)
+            yield self._decode(buf)

@@ -165,6 +165,45 @@ def unpack_packed_field(packed: jnp.ndarray):
     return band, area, r - 256.0 * band
 
 
+def _moment_stack(patches, dx, dy, keep, profile: DetectProfile, *,
+                  red, vmin, vmax, expand) -> jnp.ndarray:
+    """The single definition of the 28-sum construction shared by the
+    batched-XLA backends (plain and paired window layouts); only the
+    reduction/broadcast shape-plumbing differs per layout:
+
+    * ``red(v)``: fused full reduction of one integrand -> per-window sums;
+    * ``vmin``/``vmax``: masked min/max of gated gray -> per-window scalar;
+    * ``expand(s)``: broadcast a per-window scalar back over the elements.
+
+    (``window_sums_xla`` and the in-kernel ``_accumulate`` keep their own
+    layout-specific forms; the parity tests pin all backends equal.)
+    """
+    f = jnp.float32
+    cut = keep.astype(f)
+    band, area, gray = unpack_packed_field(patches)
+    b = band * cut
+    a = area * cut
+    lo = vmin(jnp.where(keep, gray, jnp.inf))
+    hi = vmax(jnp.where(keep, gray, -jnp.inf))
+    contrast = jnp.maximum(expand(hi) - expand(lo), 1e-3)
+    w = jnp.clip((expand(hi) - gray) / contrast, 0.0, 1.0)
+    w = soft_weight_remap(w, profile.soft_floor) * cut
+    wh = (w >= 0.5).astype(f)
+
+    def m(v):
+        return [red(v), red(v * dx), red(v * dy)]
+
+    def m2(v):
+        return [red(v * dx * dx), red(v * dy * dy), red(v * dx * dy)]
+
+    def m3(v):
+        return [red(v * dx * dx * dx), red(v * dx * dx * dy),
+                red(v * dx * dy * dy), red(v * dy * dy * dy)]
+
+    return jnp.stack(m(b) + m(a) + m2(a) + m(w) + m2(w) + m(wh) + m2(wh)
+                     + [lo, hi, red(cut)] + m3(w), axis=-1)
+
+
 def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
                          peaks: Peaks, geom: CutGeometry,
                          profile: DetectProfile, width: int) -> jnp.ndarray:
@@ -203,38 +242,17 @@ def moments_from_patches(patches: jnp.ndarray, start: jnp.ndarray,
         keep = keep & ((dx * geom.ex[..., j, None, None]
                         + dy * geom.ey[..., j, None, None])
                        <= rhs[..., j, None, None] + 1e-3)
-    cut = keep.astype(f)
-
-    band, area, gray = unpack_packed_field(patches)
-    b = band * cut
-    a = area * cut
-    lo = jnp.min(jnp.where(keep, gray, jnp.inf), axis=(-2, -1))
-    hi = jnp.max(jnp.where(keep, gray, -jnp.inf), axis=(-2, -1))
-    contrast = jnp.maximum(hi - lo, 1e-3)
-    w = jnp.clip((hi[..., None, None] - gray) / contrast[..., None, None],
-                 0.0, 1.0)
-    w = soft_weight_remap(w, profile.soft_floor) * cut
-    wh = (w >= 0.5).astype(f)
-
     # Direct fused reductions. A separable row-first variant (reduce rows
     # once per dy power, finish on (K, C) partials) was measured SLOWER
     # end-to-end — 7,950 vs 9,800 fps: XLA already fuses all 28 reductions
     # into one pass over the patch tensor, and the row-first form splits
     # that fusion and materializes the partials.
-    red = lambda v: jnp.sum(v, axis=(-2, -1))
-
-    def m(v):
-        return [red(v), red(v * dx), red(v * dy)]
-
-    def m2(v):
-        return [red(v * dx * dx), red(v * dy * dy), red(v * dx * dy)]
-
-    def m3(v):
-        return [red(v * dx * dx * dx), red(v * dx * dx * dy),
-                red(v * dx * dy * dy), red(v * dy * dy * dy)]
-
-    return jnp.stack(m(b) + m(a) + m2(a) + m(w) + m2(w) + m(wh) + m2(wh)
-                     + [lo, hi, red(cut)] + m3(w), axis=-1)
+    return _moment_stack(
+        patches, dx, dy, keep, profile,
+        red=lambda v: jnp.sum(v, axis=(-2, -1)),
+        vmin=lambda v: jnp.min(v, axis=(-2, -1)),
+        vmax=lambda v: jnp.max(v, axis=(-2, -1)),
+        expand=lambda s: s[..., None, None])
 
 
 def moments_from_patches_paired(patches: jnp.ndarray, start: jnp.ndarray,
@@ -280,12 +298,6 @@ def moments_from_patches_paired(patches: jnp.ndarray, start: jnp.ndarray,
         keep = keep & ((dx * lane_expand(geom.ex[..., j])[..., None, :]
                         + dy * lane_expand(geom.ey[..., j])[..., None, :])
                        <= lane_expand(rhs[..., j])[..., None, :] + 1e-3)
-    cut = keep.astype(f)
-
-    band, area, gray = unpack_packed_field(patches)
-    b = band * cut
-    a = area * cut
-
     # Slot-group finishes WITHOUT reshaping the hot tensor: a lane reshape
     # of a fused row-reduce makes XLA materialize a (.., K2, 128) partial
     # PER MOMENT once `sums` has real consumers (measured: full detect
@@ -293,42 +305,22 @@ def moments_from_patches_paired(patches: jnp.ndarray, start: jnp.ndarray,
     # ablation still looked faster). Two masked full reductions per moment
     # keep every sum inside the single fused pass over the patch tensor.
     slot0 = (jnp.arange(c_) < 64)
+    m0 = slot0.astype(f)
 
     def interleave(s0, s1):  # (..., K2) x2 -> (..., K), window 2*k2+j
         return jnp.stack([s0, s1], axis=-1).reshape(*s0.shape[:-1], 2 * k2)
 
-    g_in = jnp.where(keep, gray, jnp.inf)
-    lo = interleave(jnp.min(jnp.where(slot0, g_in, jnp.inf), axis=(-2, -1)),
-                    jnp.min(jnp.where(slot0, jnp.inf, g_in), axis=(-2, -1)))
-    g_ax = jnp.where(keep, gray, -jnp.inf)
-    hi = interleave(
-        jnp.max(jnp.where(slot0, g_ax, -jnp.inf), axis=(-2, -1)),
-        jnp.max(jnp.where(slot0, -jnp.inf, g_ax), axis=(-2, -1)))
-    hi_l = lane_expand(hi)[..., None, :]
-    lo_l = lane_expand(lo)[..., None, :]
-    contrast = jnp.maximum(hi_l - lo_l, 1e-3)
-    w = jnp.clip((hi_l - gray) / contrast, 0.0, 1.0)
-    w = soft_weight_remap(w, profile.soft_floor) * cut
-    wh = (w >= 0.5).astype(f)
-
-    m0 = slot0.astype(f)
-
-    def red(v):
-        return interleave(jnp.sum(v * m0, axis=(-2, -1)),
-                          jnp.sum(v - v * m0, axis=(-2, -1)))
-
-    def m(v):
-        return [red(v), red(v * dx), red(v * dy)]
-
-    def m2(v):
-        return [red(v * dx * dx), red(v * dy * dy), red(v * dx * dy)]
-
-    def m3(v):
-        return [red(v * dx * dx * dx), red(v * dx * dx * dy),
-                red(v * dx * dy * dy), red(v * dy * dy * dy)]
-
-    return jnp.stack(m(b) + m(a) + m2(a) + m(w) + m2(w) + m(wh) + m2(wh)
-                     + [lo, hi, red(cut)] + m3(w), axis=-1)
+    return _moment_stack(
+        patches, dx, dy, keep, profile,
+        red=lambda v: interleave(jnp.sum(v * m0, axis=(-2, -1)),
+                                 jnp.sum(v - v * m0, axis=(-2, -1))),
+        vmin=lambda v: interleave(
+            jnp.min(jnp.where(slot0, v, jnp.inf), axis=(-2, -1)),
+            jnp.min(jnp.where(slot0, jnp.inf, v), axis=(-2, -1))),
+        vmax=lambda v: interleave(
+            jnp.max(jnp.where(slot0, v, -jnp.inf), axis=(-2, -1)),
+            jnp.max(jnp.where(slot0, -jnp.inf, v), axis=(-2, -1))),
+        expand=lambda s: lane_expand(s)[..., None, :])
 
 
 class Finalized(NamedTuple):

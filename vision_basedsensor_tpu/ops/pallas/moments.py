@@ -280,144 +280,36 @@ def window_sums_packed(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
 
 def _gather_kernel(start_ref, packed_hbm, out_ref, rows, sems, *,
                    rows_block: int, cols_block: int, out_rows: int,
-                   out_cols: int, n_slots: int):
+                   out_cols: int, n_slots: int, pack: int):
     """Copy every peak's window into the output block, re-aligned to the
-    patch start.
+    patch start; with ``pack == 2``, TWO peaks' windows share each
+    128-lane output row (window ``pack*i + j`` in lanes
+    ``[64*j, 64*j + 64)``).
 
     The moment math happens in batched XLA afterwards
-    (ops/moments.py:moments_from_patches): measured on TPU, the in-kernel
-    per-peak accumulate loop is vector-issue-bound at ~68 us/frame (the
-    (rows, 256) window is 7x the cutoff disk's bounding box and every peak
-    pays ~30 vector ops over it serially), while gather + fused XLA
-    reductions over all B*K windows at once is HBM-bound at ~2 full passes.
+    (ops/moments.py:moments_from_patches[_paired]): measured on TPU, the
+    in-kernel per-peak accumulate loop is vector-issue-bound at
+    ~68 us/frame (the (rows, 256) window is 7x the cutoff disk's bounding
+    box and every peak pays ~30 vector ops over it serially), while
+    gather + fused XLA reductions over all B*K windows at once wins —
+    and packing two windows per row halves that reduction's element
+    count, the remaining cost driver.
 
-    Each aligned ``(rows_block, cols_block)`` DMA lands in a scratch slot
-    and is rolled (tpu.dynamic_rotate on both axes) so the unaligned patch
-    start sits at row 0 / lane 0; only ``(patch_size, 128)`` rows/lanes are
-    stored. The cutoff disk lies strictly inside the clipped patch's rows
-    ``[cy, cy+p)`` and columns ``[cx, cx+p]`` (cutoff <= p/2 - 1.5 after
-    the round-to-int patch start's +-0.5: 18 vs 20 low-res, 30 vs 32
-    high-res), so the stored window loses no gated pixel while cutting the
-    patch-tensor HBM traffic to ~40% of the naive aligned windows.
+    Each aligned ``(rows_block, cols_block)`` DMA lands in a scratch ring
+    slot and is rolled (tpu.dynamic_rotate on both axes) so the unaligned
+    patch start sits at row 0 / lane ``64*j``. The cutoff disk lies
+    strictly inside the clipped patch's rows ``[cy, cy+p)`` and columns
+    ``[cx, cx+p]`` (cutoff <= p/2 - 1.5 after the round-to-int patch
+    start's +-0.5: 18 vs 20 low-res, 30 vs 32 high-res), so the stored
+    window loses no gated pixel; for pack=2 every pixel that can pass the
+    downstream gates (cutoff disk ∩ in-image ∩ halfplanes) additionally
+    lies within the 64-lane slot (half + cutoff + 0.5 <= 62.5 for both
+    built-in profiles; right-clipped patches are bounded by the in-image
+    gate at col < patch_size <= 64).
     """
     frame = pl.program_id(0)
-    k_total = out_ref.shape[1]
-
-    def _dma(slot, k):
-        y0 = pl.multiple_of(start_ref[0, k, 1], 8)
-        x0 = pl.multiple_of(start_ref[0, k, 2], 128)
-        return pltpu.make_async_copy(
-            packed_hbm.at[frame, pl.ds(y0, rows_block), pl.ds(x0, cols_block)],
-            rows.at[slot],
-            sems.at[slot],
-        )
-
-    for p in range(n_slots - 1):
-        @pl.when(p < k_total)
-        def _(p=p):
-            _dma(p, p).start()
-
-    def body(k, _):
-        slot = jax.lax.rem(k, n_slots)
-
-        @pl.when(k + n_slots - 1 < k_total)
-        def _():
-            _dma(jax.lax.rem(k + n_slots - 1, n_slots), k + n_slots - 1).start()
-
-        _dma(slot, k).wait()
-        # Dynamic rolls: the exact patch start (x in start[0], y in
-        # start[3]; aligned DMA origins in start[2]/start[1]) moves to
-        # lane 0 / row 0. tpu.dynamic_rotate takes non-negative shifts.
-        sx = start_ref[0, k, 0] - start_ref[0, k, 2]
-        sy = start_ref[0, k, 3] - start_ref[0, k, 1]
-        cshift = jax.lax.rem(jnp.int32(cols_block) - sx, jnp.int32(cols_block))
-        rshift = jax.lax.rem(jnp.int32(rows_block) - sy, jnp.int32(rows_block))
-        v = pltpu.roll(pltpu.roll(rows[slot], cshift, 1), rshift, 0)
-        out_ref[0, k] = v[:out_rows, :out_cols]
-        return ()
-
-    jax.lax.fori_loop(0, k_total, body, ())
-
-
-def gather_windows(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
-                   profile: DetectProfile, interpret: bool | None = None,
-                   n_slots: int = 4):
-    """Gather each peak's packed-field window into a dense
-    ``(B, K, patch_size, min(128, cols_block))`` tensor (one DMA per peak,
-    rolled so the patch's clipped (x, y) start is element (0, 0)). Returns
-    ``(patches, start)`` with ``start`` ``(B, K, 2)`` the exact clipped
-    patch origins for absolute-coordinate reconstruction.
-    """
-    squeeze = packed.ndim == 2
-    if squeeze:
-        packed = packed[None]
-        peaks = jax.tree.map(lambda v: v[None], peaks)
-        geom = jax.tree.map(lambda v: v[None], geom)
-    b_frames, h, w = packed.shape
-    k = peaks.xy.shape[-2]
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    start_a, _, rows_block, cols_block, cx, cy = _prep(h, w, peaks, geom,
-                                                       profile)
-    out_cols = min(128, cols_block)
-    out_rows = profile.patch_size        # multiple of 8 in both profiles
-    # SMEM quad per peak: exact x, aligned y, aligned x, exact y.
-    start4 = jnp.concatenate([cx[..., None], start_a[..., 1:],
-                              start_a[..., :1], cy[..., None]], axis=-1)
-
-    kern = functools.partial(_gather_kernel, rows_block=rows_block,
-                             cols_block=cols_block, out_rows=out_rows,
-                             out_cols=out_cols, n_slots=n_slots)
-    out = pl.pallas_call(
-        kern,
-        grid=(b_frames,),
-        out_shape=jax.ShapeDtypeStruct((b_frames, k, out_rows, out_cols),
-                                       jnp.float32),
-        in_specs=[
-            pl.BlockSpec((1, k, 4), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),   # start quad
-            pl.BlockSpec(memory_space=pl.ANY),       # packed (B, H, W)
-        ],
-        out_specs=pl.BlockSpec((1, k, out_rows, out_cols),
-                               lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((n_slots, rows_block, cols_block), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_slots,)),
-        ],
-        # The whole (K, rows, out_cols) output block lives in VMEM, double
-        # buffered by the grid pipeline; the default 16 MB scoped budget is
-        # too small for K=96 windows.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * k * out_rows * out_cols * 4
-            + n_slots * rows_block * cols_block * 4
-            + 8 * 1024 * 1024),
-        interpret=interpret,
-    )(start4, packed)
-    start = jnp.stack([cx, cy], axis=-1)
-    if squeeze:
-        return out[0], start[0]
-    return out, start
-
-
-def _gather_paired_kernel(start_ref, packed_hbm, out_ref, rows, sems, *,
-                          rows_block: int, cols_block: int, out_rows: int,
-                          n_slots: int):
-    """Two peaks' windows per 128-lane output row (window ``2*k2 + j`` in
-    lanes ``[64*j, 64*j + 64)``).
-
-    Every pixel that can pass the downstream gates (cutoff disk ∩ in-image
-    ∩ halfplanes) lies within 64 columns of the clipped patch start for
-    both built-in profiles (half + cutoff + 0.5 <= 62.5; right-clipped
-    patches are bounded by the in-image gate at col < patch_size <= 64), so
-    a 64-lane slot per window loses nothing — while halving the patch
-    tensor and, more importantly, halving the element count of the batched
-    XLA moment reductions, which are vector-issue-bound (the measured cost
-    driver at ~22 us/frame of ~103).
-    """
-    frame = pl.program_id(0)
-    k2_total = out_ref.shape[1]
-    k_total = 2 * k2_total
+    k_out = out_ref.shape[1]
+    k_total = pack * k_out
 
     def _dma(slot, k):
         y0 = pl.multiple_of(start_ref[0, k, 1], 8)
@@ -431,44 +323,50 @@ def _gather_paired_kernel(start_ref, packed_hbm, out_ref, rows, sems, *,
     for p in range(min(n_slots, k_total)):
         _dma(p, p).start()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (out_rows, out_cols), 1)
 
-    def body(k2, _):
-        halves = []
-        for j in range(2):
-            k = 2 * k2 + j
+    def body(i, _):
+        merged = None
+        for j in range(pack):
+            k = pack * i + j
             slot = jax.lax.rem(k, n_slots)
             _dma(slot, k).wait()
+            # Dynamic rolls: the exact patch start (x in start[0], y in
+            # start[3]; aligned DMA origins in start[2]/start[1]) moves to
+            # lane 64*j / row 0 (index i -> i + shift, non-negative).
             sx = start_ref[0, k, 0] - start_ref[0, k, 2]
             sy = start_ref[0, k, 3] - start_ref[0, k, 1]
-            # Patch start moves to lane 64*j / row 0 (index i -> i + shift).
             cshift = jax.lax.rem(
                 jnp.int32(cols_block) - sx + jnp.int32(64 * j),
                 jnp.int32(cols_block))
             rshift = jax.lax.rem(jnp.int32(rows_block) - sy,
                                  jnp.int32(rows_block))
             v = pltpu.roll(pltpu.roll(rows[slot], cshift, 1), rshift, 0)
-            halves.append(v[:out_rows, :128])
+            v = v[:out_rows, :out_cols]
             # The consumed slot immediately prefetches its next occupant.
             @pl.when(k + n_slots < k_total)
             def _():
                 _dma(slot, k + n_slots).start()
-        out_ref[0, k2] = jnp.where(lane < 64, halves[0], halves[1])
+            merged = v if merged is None else jnp.where(lane < 64 * j,
+                                                        merged, v)
+        out_ref[0, i] = merged
         return ()
 
-    jax.lax.fori_loop(0, k2_total, body, ())
+    jax.lax.fori_loop(0, k_out, body, ())
 
 
-def gather_windows_paired(packed: jnp.ndarray, peaks: Peaks,
-                          geom: CutGeometry, profile: DetectProfile,
-                          interpret: bool | None = None,
-                          n_slots: int = 4):
-    """Like :func:`gather_windows` but packing TWO windows per 128-lane row:
-    returns ``(patches, start)`` with ``patches`` ``(B, K//2, patch, 128)``
-    (window ``2*k2 + j`` in lanes ``[64*j, 64*j + 64)``) and ``start``
-    ``(B, K, 2)`` the exact clipped patch origins. Consumed by
-    ``ops.moments.moments_from_patches_paired``. Requires an even peak
-    count and ``patch_size <= 64`` (both built-in profiles qualify)."""
+def gather_windows(packed: jnp.ndarray, peaks: Peaks, geom: CutGeometry,
+                   profile: DetectProfile, interpret: bool | None = None,
+                   n_slots: int = 4, pack: int = 1):
+    """Gather each peak's packed-field window into a dense
+    ``(B, K // pack, patch_size, out_cols)`` tensor (one DMA per peak,
+    rolled so the patch's clipped (x, y) start is element ``(0, 64*j)``
+    for window ``pack*i + j``). Returns ``(patches, start)`` with
+    ``start`` ``(B, K, 2)`` the exact clipped patch origins for
+    absolute-coordinate reconstruction. ``pack=2`` requires an even peak
+    count and ``patch_size <= 64`` (see the kernel's slot-containment
+    proof); both built-in profiles qualify.
+    """
     squeeze = packed.ndim == 2
     if squeeze:
         packed = packed[None]
@@ -476,42 +374,48 @@ def gather_windows_paired(packed: jnp.ndarray, peaks: Peaks,
         geom = jax.tree.map(lambda v: v[None], geom)
     b_frames, h, w = packed.shape
     k = peaks.xy.shape[-2]
-    if k % 2 != 0:
-        raise ValueError(f"paired gather needs an even peak count, got {k}")
-    if profile.patch_size > 64:
+    if k % pack != 0:
+        raise ValueError(f"pack={pack} gather needs an even peak count, "
+                         f"got {k}")
+    if pack > 1 and profile.patch_size > 64:
         raise ValueError(f"paired gather needs patch_size <= 64, got "
                          f"{profile.patch_size} (64-lane slot per window)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     start_a, _, rows_block, cols_block, cx, cy = _prep(h, w, peaks, geom,
                                                        profile)
+    out_cols = min(128, cols_block)
     out_rows = profile.patch_size        # multiple of 8 in both profiles
     # SMEM quad per peak: exact x, aligned y, aligned x, exact y.
     start4 = jnp.concatenate([cx[..., None], start_a[..., 1:],
                               start_a[..., :1], cy[..., None]], axis=-1)
 
-    kern = functools.partial(_gather_paired_kernel, rows_block=rows_block,
+    kern = functools.partial(_gather_kernel, rows_block=rows_block,
                              cols_block=cols_block, out_rows=out_rows,
-                             n_slots=n_slots)
+                             out_cols=out_cols, n_slots=n_slots, pack=pack)
+    k_out = k // pack
     out = pl.pallas_call(
         kern,
         grid=(b_frames,),
-        out_shape=jax.ShapeDtypeStruct((b_frames, k // 2, out_rows, 128),
+        out_shape=jax.ShapeDtypeStruct((b_frames, k_out, out_rows, out_cols),
                                        jnp.float32),
         in_specs=[
             pl.BlockSpec((1, k, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),   # start quad
             pl.BlockSpec(memory_space=pl.ANY),       # packed (B, H, W)
         ],
-        out_specs=pl.BlockSpec((1, k // 2, out_rows, 128),
+        out_specs=pl.BlockSpec((1, k_out, out_rows, out_cols),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_slots, rows_block, cols_block), jnp.float32),
             pltpu.SemaphoreType.DMA((n_slots,)),
         ],
+        # The whole (K//pack, rows, out_cols) output block lives in VMEM,
+        # double buffered by the grid pipeline; the default 16 MB scoped
+        # budget is too small for K=96 windows.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=k * out_rows * 128 * 4
+            vmem_limit_bytes=2 * k_out * out_rows * out_cols * 4
             + n_slots * rows_block * cols_block * 4
             + 8 * 1024 * 1024),
         interpret=interpret,
@@ -520,6 +424,16 @@ def gather_windows_paired(packed: jnp.ndarray, peaks: Peaks,
     if squeeze:
         return out[0], start[0]
     return out, start
+
+
+def gather_windows_paired(packed: jnp.ndarray, peaks: Peaks,
+                          geom: CutGeometry, profile: DetectProfile,
+                          interpret: bool | None = None,
+                          n_slots: int = 4):
+    """:func:`gather_windows` with ``pack=2``: two windows per 128-lane
+    row, consumed by ``ops.moments.moments_from_patches_paired``."""
+    return gather_windows(packed, peaks, geom, profile, interpret=interpret,
+                          n_slots=n_slots, pack=2)
 
 
 def window_sums_pallas(band: jnp.ndarray, area: jnp.ndarray,
