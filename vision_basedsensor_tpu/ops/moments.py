@@ -185,8 +185,9 @@ def _moment_stack(patches, dx, dy, keep, profile: DetectProfile, *,
     a = area * cut
     lo = vmin(jnp.where(keep, gray, jnp.inf))
     hi = vmax(jnp.where(keep, gray, -jnp.inf))
-    contrast = jnp.maximum(expand(hi) - expand(lo), 1e-3)
-    w = jnp.clip((expand(hi) - gray) / contrast, 0.0, 1.0)
+    hi_e, lo_e = expand(hi), expand(lo)
+    contrast = jnp.maximum(hi_e - lo_e, 1e-3)
+    w = jnp.clip((hi_e - gray) / contrast, 0.0, 1.0)
     w = soft_weight_remap(w, profile.soft_floor) * cut
     wh = (w >= 0.5).astype(f)
 
