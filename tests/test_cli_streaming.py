@@ -114,6 +114,20 @@ def test_indent_cli(tmp_path, capsys):
     assert "worst single-step error" in cap.err
 
 
+def test_indent_cli_too_few_frames_fails_cleanly(tmp_path, capsys):
+    """Review finding (round 3): a video shorter than one full step crashed
+    with an empty-array reduction instead of a clean message."""
+    scene = default_scene(240, 320)
+    frames = np.asarray(render_frames(
+        scene, np.zeros((1, 65, 3), np.float32))).astype(np.uint8)
+    vid = str(tmp_path / "short.npy")
+    np.save(vid, frames)
+    with pytest.raises(SystemExit) as ex:
+        main(["indent", vid, "--steps", "3"])
+    assert ex.value.code == 2
+    assert "fewer than one full step" in capsys.readouterr().err
+
+
 def test_record_cli(tmp_path):
     """cmd_record: live MJPEG stream -> .avi with the received JPEG bytes
     muxed verbatim; the recording must read back through both our RIFF

@@ -172,3 +172,51 @@ def test_packed_malformed_raises():
     bad = enc.tobytes()[:40]  # truncated mid-header
     with pytest.raises(ValueError):
         dec.decode_packed([bad, enc.tobytes()])
+
+
+def test_geometry_change_between_batches_reprobes():
+    """Review finding (round 3): the decoder cached geometry forever, so a
+    stream whose camera reconfigures resolution mid-session kept reshaping
+    NEW coefficients with STALE geometry — valid-shaped garbage frames
+    (measured max error ~180 gray levels) that no downstream shape guard
+    could catch. The per-batch SOF sniff must re-probe instead, for both
+    transports and in both directions (shrink and grow)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+
+    imgs = {s: _textured(*s, seed=hash(s) % 100) for s in
+            [(64, 96), (32, 48), (128, 160)]}
+    encs = {}
+    refs = {}
+    for s, img in imgs.items():
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 70])
+        assert ok
+        encs[s] = enc.tobytes()
+        refs[s] = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+
+    for method in ("decode", "decode_packed"):
+        dec = MjpegBatchDecoder()
+        for s in [(64, 96), (32, 48), (128, 160), (64, 96)]:
+            out = np.asarray(getattr(dec, method)([encs[s]]))[0]
+            assert out.shape == s, (method, s, out.shape)
+            assert np.abs(out - refs[s]).max() <= 2.0, (method, s)
+
+
+def test_packed_transport_rejects_int32_position_overflow():
+    """The device-side position cumsum is int32; a batch whose flat
+    coefficient space exceeds 2^31 must fail loudly, not silently drop
+    scattered coefficients."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+
+    img = _textured(1088, 1920)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 70])
+    assert ok
+    dec = MjpegBatchDecoder()
+    dec._probe(enc.tobytes())
+    w, h, bw, bh = dec._meta
+    n_over = 2 ** 31 // (bw * bh * 64) + 1
+    with pytest.raises(ValueError, match="int32 position space"):
+        # _batch_args only touches lengths; the guard fires before any
+        # native decode work, so duplicating the reference is fine.
+        dec.decode_packed([enc.tobytes()] * n_over)

@@ -136,14 +136,20 @@ def cmd_track(args):
         # decoded again per chunk rather than held in RAM.
         vw = None
         t = 0
+        rectify_map = None
+        rectify_hw = None
         for batch in _make_source(args.video).batches(args.chunk):
             draw_frames = batch
             if args.crop or cfg.undistort_frames:
-                rectify_map = None
                 if cfg.undistort_frames:
-                    fh, fw = batch.shape[1:3]
-                    rectify_map, _ = prepare_undistortion(
-                        cam, int(fh), int(fw), cfg, args.crop)
+                    fh, fw = (int(batch.shape[1]), int(batch.shape[2]))
+                    # The host-side rectify map depends only on the frame
+                    # shape — build it once, not per chunk (review finding:
+                    # a 2,200-frame run rebuilt the identical map 9 times).
+                    if rectify_hw != (fh, fw):
+                        rectify_map, _ = prepare_undistortion(
+                            cam, fh, fw, cfg, args.crop)
+                        rectify_hw = (fh, fw)
                 draw_frames = np.asarray(_preprocess(
                     jnp.asarray(batch), cfg, args.crop, rectify_map))
             if vw is None:
@@ -378,6 +384,11 @@ def cmd_indent(args):
     if steps < args.steps:
         print(f"# only {n_frames} frames: evaluating {steps} steps",
               file=sys.stderr)
+    if steps < 1:
+        print(f"error: {n_frames} frame(s) is fewer than one full step "
+              f"({fps_step + 1} frames needed at --frames-per-step "
+              f"{fps_step}); nothing to evaluate", file=sys.stderr)
+        sys.exit(2)
     rows = []
     prev = 0.0
     for k in range(1, steps + 1):

@@ -175,6 +175,33 @@ class MjpegBatchDecoder:
         self._sdeltas: np.ndarray | None = None
         self.last_stats: dict | None = None
 
+    @staticmethod
+    def _sof_dims(jpeg: bytes) -> tuple[int, int] | None:
+        """(width, height) from the SOF header — a microsecond pure-Python
+        marker scan, cheap enough to run per BATCH so a stream whose camera
+        reconfigures geometry mid-session triggers a re-probe instead of
+        silently reshaping new coefficients with stale geometry (review
+        finding: the old cached-forever meta returned valid-shaped garbage
+        frames, max error ~180 gray levels, and downstream shape guards
+        never fired)."""
+        i, n = 2, len(jpeg)
+        while i + 8 < n:
+            if jpeg[i] != 0xFF:
+                i += 1
+                continue
+            m = jpeg[i + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            if m == 0xDA:       # SOS: past the headers, no SOF found
+                return None
+            if m in (0xC0, 0xC1, 0xC2):
+                h = (jpeg[i + 5] << 8) | jpeg[i + 6]
+                w = (jpeg[i + 7] << 8) | jpeg[i + 8]
+                return w, h
+            i += 2 + ((jpeg[i + 2] << 8) | jpeg[i + 3])
+        return None
+
     def _probe(self, jpeg: bytes) -> None:
         import ctypes
         meta = (ctypes.c_int32 * 4)()
@@ -204,6 +231,14 @@ class MjpegBatchDecoder:
         import ctypes
         if self._meta is None:
             self._probe(jpegs[0])
+        else:
+            dims = self._sof_dims(jpegs[0])
+            if dims is not None and dims != (self._meta[0], self._meta[1]):
+                # Geometry changed mid-stream: re-learn it and drop the
+                # block-count-derived packed-buffer sizing so decode_packed
+                # re-derives capacities for the new blocks-per-frame.
+                self._probe(jpegs[0])
+                self._cap = self._scap = 0
         data = b"".join(jpegs)
         n = len(jpegs)
         offsets = np.zeros(n, np.int64)
@@ -248,6 +283,15 @@ class MjpegBatchDecoder:
         w, h, bw, bh = self._meta
         n = args[-1]
         blocks = bw * bh
+        # The device-side position reconstruction is an int32 cumsum over
+        # the batch's flat coefficient space (int64 is unavailable without
+        # x64 mode); past 2^31 positions would wrap negative and the
+        # scatter's mode="drop" would silently discard coefficients.
+        if n * blocks * 64 >= 2 ** 31:
+            raise ValueError(
+                f"packed transport: batch of {n} frames x {blocks} blocks "
+                f"exceeds the int32 position space ({n * blocks * 64} >= "
+                f"2^31); split the batch")
         if self._cap == 0:
             # First call: size the streams for typical sparsity (~5 entries
             # per block incl. fillers, few spills) and grow on the specific
@@ -287,6 +331,16 @@ class MjpegBatchDecoder:
         e_n, s_n = int(counts[0]), int(counts[1])
         e_b = min(_bucket(e_n), self._gaps.size)
         s_b = min(_bucket(s_n), self._sgaps.size)
+        # The (gap=255, value=0) tail fillers keep climbing past the tensor
+        # end; they too must stay inside int32 or they wrap — a multi-wrap
+        # could land a zero back INSIDE the valid range and violate the
+        # scatter's unique-sorted-index contract. Real sparsity never gets
+        # close (256x480p: ~78M + 255*~600k); adversarially dense inputs
+        # fail cleanly here instead of corrupting.
+        if n * blocks * 64 + 255 * (e_b - e_n) >= 2 ** 31:
+            raise ValueError(
+                "packed transport: tail-filler positions would exceed the "
+                "int32 position space; split the batch")
         # Copies (the async device transfer must not race the next batch
         # overwriting the persistent buffers) with deterministic tail
         # padding: (gap=255, value=0) keeps the implied positions strictly

@@ -448,16 +448,20 @@ def _occlusion_polys():
     Returns float tuples (shift_coeffs, sqlv_coeffs) highest-degree first,
     valid for ratio in [1.003, 8.43] (clamp before evaluating).
     """
+    # np.trapezoid is the NumPy >= 2.0 name of np.trapz; support both
+    # (pyproject declares an unpinned numpy and this runs on the DEFAULT
+    # detection path via occlusion_completion=True).
+    trapz = getattr(np, "trapezoid", None) or np.trapz
     u = np.linspace(-1.0, 1.0, 4001)
     f = 2.0 * np.sqrt(np.clip(1.0 - u * u, 0.0, None))
     ss = np.linspace(-0.98, 0.92, 96)
     ratio, shift, sqrt_lv = [], [], []
     for s in ss:
         m = u >= s
-        a = np.trapezoid(f[m], u[m])
-        mu = np.trapezoid(u[m] * f[m], u[m]) / a
-        lu = np.trapezoid((u[m] - mu) ** 2 * f[m], u[m]) / a
-        lv = np.trapezoid((1.0 - u[m] ** 2) / 3.0 * f[m], u[m]) / a
+        a = trapz(f[m], u[m])
+        mu = trapz(u[m] * f[m], u[m]) / a
+        lu = trapz((u[m] - mu) ** 2 * f[m], u[m]) / a
+        lv = trapz((1.0 - u[m] ** 2) / 3.0 * f[m], u[m]) / a
         ratio.append(np.sqrt(lv / lu))
         shift.append(mu)
         sqrt_lv.append(np.sqrt(lv))
