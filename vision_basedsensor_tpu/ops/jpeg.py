@@ -190,6 +190,9 @@ class MjpegBatchDecoder:
                 i += 1
                 continue
             m = jpeg[i + 1]
+            if m == 0xFF:       # fill byte padding before a marker
+                i += 1
+                continue
             if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
                 i += 2
                 continue
