@@ -220,3 +220,23 @@ def test_packed_transport_rejects_int32_position_overflow():
         # _batch_args only touches lengths; the guard fires before any
         # native decode work, so duplicating the reference is fine.
         dec.decode_packed([enc.tobytes()] * n_over)
+
+
+def test_progressive_jpeg_rejected_cleanly():
+    """The native decoder is baseline-only; a progressive (SOF2) stream —
+    some IP cameras emit these — must fail with a clear parse error on
+    both transports, never return garbage frames."""
+    _lib_or_skip()
+    import io
+
+    from PIL import Image
+
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+
+    img = _textured(64, 96)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, format="JPEG", progressive=True, quality=70)
+    j = b.getvalue()
+    for method in ("decode", "decode_packed"):
+        with pytest.raises(ValueError, match="JPEG parse failed"):
+            getattr(MjpegBatchDecoder(), method)([j])
