@@ -48,6 +48,23 @@ def test_cli_track_and_reconstruct(video_npy, tmp_path, capsys):
     text = open(out_coords).read()
     assert "Xw" in text and text.count("\n") > 60
 
+    # Ring-local analysis (LocalAnalysis.py, C17) from the CLI: the video
+    # presses straight down 0.3 mm between the two 1-frame windows.
+    plots = str(tmp_path / "plots")
+    main(["reconstruct", csv_path, "--output", out_coords, "--no-warmup",
+          "--ring", "2", "--start-range", "0", "0",
+          "--end-range", "3", "3", "--plots-dir", plots])
+    cap = capsys.readouterr().out
+    ring_line = [l for l in cap.splitlines() if l.startswith("ring 2")][0]
+    assert "markers 8-19" in ring_line
+    # Magnitude sanity only: at this tiny 240x320 fixture the per-marker
+    # depth noise inflates the norm well past the prescribed 0.3 mm Z
+    # (accuracy is pinned by the 480p staircase tests); the CLI plumbing —
+    # ring selection, window averaging, plot output — is what's under test.
+    mag = float(ring_line.split("displacement ")[1].split(" mm")[0])
+    assert 0.05 < mag < 2.0, ring_line
+    assert os.path.exists(os.path.join(plots, "ring_2_displacement.png"))
+
 
 def test_cli_analyze(tmp_path, capsys):
     from vision_basedsensor_tpu.io.table import write_experiment_txt

@@ -292,6 +292,30 @@ def cmd_reconstruct(args):
             plot_marker_analysis(recon, m + 1,
                                  os.path.join(args.plots_dir,
                                               f"marker_{m + 1}_analysis.png"))
+    if args.ring is not None:
+        # Ring-local averaged start/end displacement (the reference's
+        # LocalAnalysis.py, C17): positions averaged over two frame
+        # windows; reference defaults 1-30 / 120-150 clipped to the video.
+        from vision_basedsensor_tpu import layout
+        from vision_basedsensor_tpu.analysis import start_end_displacement
+        from vision_basedsensor_tpu.analysis.plots import plot_ring_displacement
+        n = recon.world.shape[0]
+        sr = args.start_range or (1, min(30, n - 1))
+        er = args.end_range or (max(n - 31, 0), n - 1)
+        disp, ok = start_end_displacement(recon, tuple(sr), tuple(er))
+        first = 1 + sum(layout.RING_COUNTS[:args.ring])
+        ids = np.arange(first, first + layout.RING_COUNTS[args.ring])
+        mags = np.linalg.norm(np.asarray(disp)[ids - 1], axis=-1)
+        okr = np.asarray(ok)[ids - 1]
+        mean_mag = float(mags[okr].mean()) if okr.any() else float("nan")
+        print(f"ring {args.ring} (markers {ids[0]}-{ids[-1]}): mean "
+              f"displacement {mean_mag:.4f} mm over frames {sr}->{er}")
+        out = os.path.join(args.plots_dir or ".",
+                           f"ring_{args.ring}_displacement.png")
+        if args.plots_dir:
+            os.makedirs(args.plots_dir, exist_ok=True)
+        plot_ring_displacement(disp, ok, ids, out)
+        print(f"wrote {out}")
 
 
 def cmd_analyze(args):
@@ -754,6 +778,16 @@ def main(argv=None):
     r.add_argument("--extrinsics")
     r.add_argument("--plots-dir")
     r.add_argument("--no-warmup", action="store_true")
+    r.add_argument("--ring", type=int, choices=range(1, 6),
+                   help="ring-local averaged displacement analysis "
+                        "(LocalAnalysis.py semantics; ring 2 = markers "
+                        "8-19); writes ring_<N>_displacement.png")
+    r.add_argument("--start-range", type=int, nargs=2,
+                   help="frame window averaged as the START position "
+                        "(default 1-30, reference LocalAnalysis.py:14)")
+    r.add_argument("--end-range", type=int, nargs=2,
+                   help="frame window averaged as the END position "
+                        "(default last 31 frames)")
     r.set_defaults(fn=cmd_reconstruct)
 
     a = sub.add_parser("analyze")
