@@ -10,7 +10,11 @@ the end forces the whole chain. The chain adds one elementwise pass + the
 final RTT, identical for every stage, so stage DELTAS are clean.
 
 Sanity anchor: the "full detect" row must land near the independently
-verified full-pipeline number (bench.py; ~105-115 us/frame at B=256).
+verified full-pipeline number (bench.py; round 3: ~107 us/frame at B=256,
+~90 at B=1024 — the chained harness carries a ~13 us/frame dispatch
+constant at B=256, less at B=1024). CAUTION: rows isolate stages with a
+trivial scalar consumer, which hides consumer-driven fusion splits —
+judge levers by e2e A/B, not by rows (benchmarks/README.md, round 3).
 
 Usage: python benchmarks/ablate_detect.py [batch] [iters]
 """
