@@ -65,6 +65,34 @@ def test_end_to_end_tilt_recovery():
     assert abs(float(res.mean_magnitude) - expected_mag) / expected_mag < 0.15
 
 
+@pytest.mark.parametrize("tilt_deg,axis", [(3.0, "y"), (8.0, "x"),
+                                           (20.0, "y")])
+def test_tilt_recovery_sweep(tilt_deg, axis):
+    """Tilt recovery across the pose range and both tilt axes — the pose
+    compensation use case cares most about SMALL misalignments, while the
+    15-deg reference pose (pinned in test_end_to_end_tilt_recovery) only
+    exercises one point. Same 0.5 deg end-to-end bound everywhere; all
+    videos share one compiled shape, so the sweep costs seconds."""
+    scene = default_scene(480, 640)
+    zero = jnp.zeros((65, 3), jnp.float32)
+    d_vert_true = jnp.asarray([0.0, 0.0, -1.0]) + zero
+    d_tilt_true = tilt_deviation_field(tilt_deg, axis=axis,
+                                       compression_mm=1.0)
+
+    cfg = _cfg()
+    out_v = run_video(render_frames(scene, jnp.stack([zero, d_vert_true])),
+                      scene.cam, cfg, apply_warmup=False)
+    out_t = run_video(render_frames(scene, jnp.stack([zero, d_tilt_true])),
+                      scene.cam, cfg, apply_warmup=False)
+    d_vert, ok_v = start_end_displacement(out_v.recon, (0, 0), (1, 1))
+    d_tilt, ok_t = start_end_displacement(out_t.recon, (0, 0), (1, 1))
+    dev, ok = deviation_field(d_vert, ok_v, d_tilt, ok_t)
+    assert np.asarray(ok).sum() >= 60
+    res = analyze_deviation(dev, ok, AnalysisConfig())
+    assert abs(float(res.tilt_deg) - tilt_deg) < 0.5, \
+        (tilt_deg, axis, float(res.tilt_deg))
+
+
 def test_tilt_recovery_under_noise_and_distortion():
     """Tilt recovery under joint sensor noise + lens distortion (ROADMAP
     accuracy item): frames rendered THROUGH a Brown-Conrady lens with
@@ -103,6 +131,44 @@ def test_tilt_recovery_under_noise_and_distortion():
 
     res = analyze_deviation(dev, ok, AnalysisConfig())
     assert abs(float(res.tilt_deg) - 15.0) < 1.0, float(res.tilt_deg)
+
+
+def test_robust_plane_fit_rejects_outliers():
+    """fit_plane_robust: two grossly wrong markers (the merged-blob /
+    out-of-regime failure mode measured at 20 deg tilt) must not lever the
+    tilt; on clean data it matches the plain fit to numerical noise; and
+    robust_plane_fit=False reproduces the reference's plain lstsq."""
+    import dataclasses
+
+    from vision_basedsensor_tpu.core.fit import fit_plane, fit_plane_robust
+
+    table = np.asarray(layout.dome_layout()[:, 1:])
+    rng = np.random.default_rng(5)
+    z = (np.tan(np.deg2rad(12.0)) * table[:, 0]
+         + rng.normal(0, 0.02, 65))           # clean 12 deg plane + noise
+    xyz = np.stack([table[:, 0], table[:, 1], z], axis=-1).astype(np.float32)
+    mask = jnp.ones(65, bool)
+
+    clean_r = fit_plane_robust(jnp.asarray(xyz), mask)
+    clean_p = fit_plane(jnp.asarray(xyz), mask)
+    assert abs(float(clean_r.tilt_deg) - float(clean_p.tilt_deg)) < 0.05
+
+    bad = xyz.copy()
+    bad[62, 2] += 4.0                          # x-extreme cardinal corrupted
+    bad[60, 2] -= 3.0                          # opposite-side ring-4 marker
+    rob = fit_plane_robust(jnp.asarray(bad), mask)
+    plain = fit_plane(jnp.asarray(bad), mask)
+    assert abs(float(plain.tilt_deg) - 12.0) > 0.4   # plain IS levered
+    assert abs(float(rob.tilt_deg) - 12.0) < 0.1, float(rob.tilt_deg)
+
+    # Config plumbing: robust_plane_fit=False == reference lstsq semantics.
+    dev = np.zeros((65, 3), np.float32)
+    dev[:, 2] = bad[:, 2]
+    res_ref = analyze_deviation(jnp.asarray(dev), mask,
+                                dataclasses.replace(AnalysisConfig(),
+                                                    robust_plane_fit=False))
+    np.testing.assert_allclose(float(res_ref.tilt_deg), float(plain.tilt_deg),
+                               atol=1e-4)
 
 
 def test_ring_local_analysis():

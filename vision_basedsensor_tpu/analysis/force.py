@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from vision_basedsensor_tpu import layout
 from vision_basedsensor_tpu.config import AnalysisConfig
-from vision_basedsensor_tpu.core.fit import PlaneFit, fit_plane, masked_mean
+from vision_basedsensor_tpu.core.fit import (PlaneFit, fit_plane,
+                                             fit_plane_robust, masked_mean)
 from vision_basedsensor_tpu.reconstruct.displacement import Reconstruction
 
 
@@ -56,7 +57,8 @@ def contact_state_sequence(recon: Reconstruction, cfg: AnalysisConfig,
     disp = cfg.deviation_scale * recon.from_first                # (B, 65, 3)
     end = start[None] + disp
     valid = recon.seen
-    plane = fit_plane(end, valid)
+    plane = (fit_plane_robust(end, valid) if cfg.robust_plane_fit
+             else fit_plane(end, valid))
     mean_vec = masked_mean(disp, valid[..., None], axis=-2)
     mean_mag = masked_mean(recon.from_first_norm, valid, axis=-1)
     return ContactState(tilt_deg=plane.tilt_deg, plane=plane,
@@ -113,7 +115,8 @@ def analyze_deviation(deviation: jnp.ndarray, valid: jnp.ndarray,
     start = jnp.stack([table[:, 0], table[:, 1], z0], axis=-1)
     end = start + cfg.deviation_scale * deviation
 
-    plane = fit_plane(end, valid)
+    plane = (fit_plane_robust(end, valid) if cfg.robust_plane_fit
+             else fit_plane(end, valid))
     mean_vec = masked_mean(cfg.deviation_scale * deviation, valid[:, None], axis=0)
     mean_mag = masked_mean(jnp.linalg.norm(deviation, axis=-1), valid)
     return DeviationAnalysis(

@@ -202,6 +202,11 @@ class AnalysisConfig:
     ring2_marker_ids: Tuple[int, ...] = tuple(range(8, 20))  # LocalAnalysis.py:11
     start_frame_range: Tuple[int, int] = (1, 30)    # LocalAnalysis.py:14
     end_frame_range: Tuple[int, int] = (120, 150)   # LocalAnalysis.py:15
+    # IRLS (Tukey) contact-plane fit: outlier markers (merged blobs,
+    # occlusion-completed detections) are downweighted instead of levering
+    # the tilt. False reproduces the reference's plain lstsq
+    # (ForceDistribution.py:144) exactly.
+    robust_plane_fit: bool = True
 
 
 @dataclass(frozen=True)
