@@ -161,6 +161,27 @@ def test_robust_plane_fit_rejects_outliers():
     assert abs(float(plain.tilt_deg) - 12.0) > 0.4   # plain IS levered
     assert abs(float(rob.tilt_deg) - 12.0) < 0.1, float(rob.tilt_deg)
 
+    # Shell mode (review concern): the dome-curvature residuals are large
+    # but SYMMETRIC, so the Tukey reweighting stays unbiased — robust ==
+    # plain on a clean tilted field placed on the true shell heights.
+    dev15 = jnp.asarray(tilt_deviation_field(15.0, compression_mm=0.0))
+    r_sh = analyze_deviation(dev15, mask, AnalysisConfig(),
+                             initial_mode="shell")
+    p_sh = analyze_deviation(dev15, mask,
+                             dataclasses.replace(AnalysisConfig(),
+                                                 robust_plane_fit=False),
+                             initial_mode="shell")
+    assert abs(float(r_sh.tilt_deg) - float(p_sh.tilt_deg)) < 1e-3
+    np.testing.assert_allclose(float(r_sh.tilt_deg), 15.0, atol=1e-2)
+
+    # All-False mask (fully occluded frame / empty common-id set): the
+    # robust fit must return the plain fit's finite Tikhonov zero, never
+    # NaN — the live publisher JSON-serializes tilt_deg.
+    none = jnp.zeros(65, bool)
+    from vision_basedsensor_tpu.core.fit import fit_plane_robust as _fpr
+    empty = _fpr(jnp.asarray(xyz), none)
+    assert np.isfinite(float(empty.tilt_deg))
+
     # Config plumbing: robust_plane_fit=False == reference lstsq semantics.
     dev = np.zeros((65, 3), np.float32)
     dev[:, 2] = bad[:, 2]

@@ -217,8 +217,9 @@ def test_packed_transport_rejects_int32_position_overflow():
     w, h, bw, bh = dec._meta
     n_over = 2 ** 31 // (bw * bh * 64) + 1
     with pytest.raises(ValueError, match="int32 position space"):
-        # _batch_args only touches lengths; the guard fires before any
-        # native decode work, so duplicating the reference is fine.
+        # The guard fires BEFORE the payload join / native decode (a clean
+        # rejection must not first concatenate hundreds of MB on the weak
+        # hosts this path targets), so duplicating the reference is cheap.
         dec.decode_packed([enc.tobytes()] * n_over)
 
 

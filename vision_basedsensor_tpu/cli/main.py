@@ -300,8 +300,12 @@ def cmd_reconstruct(args):
         from vision_basedsensor_tpu.analysis import start_end_displacement
         from vision_basedsensor_tpu.analysis.plots import plot_ring_displacement
         n = recon.world.shape[0]
-        sr = args.start_range or (1, min(30, n - 1))
-        er = args.end_range or (max(n - 31, 0), n - 1)
+        # Defaults are the reference's exact windows (LocalAnalysis.py:14-15,
+        # carried in AnalysisConfig), clipped into the video's frame range.
+        acfg = cfg.analysis
+        clip = lambda rng: (min(rng[0], n - 1), min(rng[1], n - 1))
+        sr = args.start_range or clip(acfg.start_frame_range)
+        er = args.end_range or clip(acfg.end_frame_range)
         disp, ok = start_end_displacement(recon, tuple(sr), tuple(er))
         first = 1 + sum(layout.RING_COUNTS[:args.ring])
         ids = np.arange(first, first + layout.RING_COUNTS[args.ring])
@@ -461,21 +465,14 @@ def cmd_indent(args):
 
 
 def _jpeg_dims(data: bytes):
-    """(height, width) from a baseline/progressive JPEG's SOF marker."""
-    i = 2
-    while i + 9 < len(data):
-        if data[i] != 0xFF:
-            i += 1
-            continue
-        m = data[i + 1]
-        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-            return (int.from_bytes(data[i + 5:i + 7], "big"),
-                    int.from_bytes(data[i + 7:i + 9], "big"))
-        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
-            i += 2
-        else:
-            i += 2 + int.from_bytes(data[i + 2:i + 4], "big")
-    raise ValueError("no SOF marker found")
+    """(height, width) from a JPEG's SOF marker — the shared scanner
+    (io/mjpeg.py:sof_dims); a hand-rolled twin here had already missed the
+    fill-byte fix once (round-3 review)."""
+    from vision_basedsensor_tpu.io.mjpeg import sof_dims
+    dims = sof_dims(data)
+    if dims is None:
+        raise ValueError("no SOF marker found")
+    return dims[1], dims[0]
 
 
 def cmd_record(args):
@@ -784,10 +781,12 @@ def main(argv=None):
                         "8-19); writes ring_<N>_displacement.png")
     r.add_argument("--start-range", type=int, nargs=2,
                    help="frame window averaged as the START position "
-                        "(default 1-30, reference LocalAnalysis.py:14)")
+                        "(default 1-30, reference LocalAnalysis.py:14, "
+                        "clipped to the video)")
     r.add_argument("--end-range", type=int, nargs=2,
                    help="frame window averaged as the END position "
-                        "(default last 31 frames)")
+                        "(default 120-150, reference LocalAnalysis.py:15, "
+                        "clipped to the video)")
     r.set_defaults(fn=cmd_reconstruct)
 
     a = sub.add_parser("analyze")

@@ -87,8 +87,12 @@ def fit_plane_robust(xyz: jnp.ndarray, mask: jnp.ndarray | None = None,
     for _ in range(iters):
         r = jnp.einsum("...np,...p->...n", A, coeff) - z
         absr = jnp.where(mask, jnp.abs(r), jnp.nan)
-        scale = jnp.maximum(
-            1.4826 * jnp.nanmedian(absr, axis=-1, keepdims=True), 1e-6)
+        med = jnp.nanmedian(absr, axis=-1, keepdims=True)
+        # An all-False mask (fully occluded frame, empty common-id set)
+        # makes the median NaN; NaN weights would poison the solve into a
+        # NaN tilt where the plain fit returns the finite Tikhonov zero —
+        # and the live publisher would then emit non-JSON 'NaN' tokens.
+        scale = jnp.maximum(1.4826 * jnp.nan_to_num(med, nan=1.0), 1e-6)
         u = jnp.clip(r / (tukey_c * scale), -1.0, 1.0)
         w = mask.astype(z.dtype) * (1.0 - u * u) ** 2
         coeff = masked_lstsq(A, z, w)

@@ -37,6 +37,34 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     return np.asarray(Image.open(BytesIO(buf)))[..., ::-1].copy()  # RGB->BGR
 
 
+def sof_dims(jpeg: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG's SOF header — a microsecond pure-Python
+    marker scan. THE single scanner shared by the TPU decoder's per-batch
+    geometry sniff (ops/jpeg.py) and ``cli record``'s AVI header sizing;
+    handles APPn/DRI segments via the generic length skip and 0xFF fill
+    bytes before markers (real cameras emit both)."""
+    i, n = 2, len(jpeg)
+    while i + 8 < n:
+        if jpeg[i] != 0xFF:
+            i += 1
+            continue
+        m = jpeg[i + 1]
+        if m == 0xFF:           # fill-byte padding before a marker
+            i += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xDA:           # SOS: past the headers, no SOF found
+            return None
+        if m in (0xC0, 0xC1, 0xC2):
+            h = (jpeg[i + 5] << 8) | jpeg[i + 6]
+            w = (jpeg[i + 7] << 8) | jpeg[i + 8]
+            return w, h
+        i += 2 + ((jpeg[i + 2] << 8) | jpeg[i + 3])
+    return None
+
+
 def iter_mjpeg_bytes(url: str, boundary: bytes | None = None,
                      timeout: float = 10.0, max_frames: int | None = None
                      ) -> Iterator[bytes]:

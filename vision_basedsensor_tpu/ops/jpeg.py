@@ -177,33 +177,40 @@ class MjpegBatchDecoder:
 
     @staticmethod
     def _sof_dims(jpeg: bytes) -> tuple[int, int] | None:
-        """(width, height) from the SOF header — a microsecond pure-Python
-        marker scan, cheap enough to run per BATCH so a stream whose camera
-        reconfigures geometry mid-session triggers a re-probe instead of
-        silently reshaping new coefficients with stale geometry (review
-        finding: the old cached-forever meta returned valid-shaped garbage
-        frames, max error ~180 gray levels, and downstream shape guards
-        never fired)."""
-        i, n = 2, len(jpeg)
-        while i + 8 < n:
-            if jpeg[i] != 0xFF:
-                i += 1
-                continue
-            m = jpeg[i + 1]
-            if m == 0xFF:       # fill byte padding before a marker
-                i += 1
-                continue
-            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
-                i += 2
-                continue
-            if m == 0xDA:       # SOS: past the headers, no SOF found
-                return None
-            if m in (0xC0, 0xC1, 0xC2):
-                h = (jpeg[i + 5] << 8) | jpeg[i + 6]
-                w = (jpeg[i + 7] << 8) | jpeg[i + 8]
-                return w, h
-            i += 2 + ((jpeg[i + 2] << 8) | jpeg[i + 3])
-        return None
+        """(width, height) from the SOF header — cheap enough to run per
+        BATCH so a stream whose camera reconfigures geometry mid-session
+        triggers a re-probe instead of silently reshaping new coefficients
+        with stale geometry (review finding: the old cached-forever meta
+        returned valid-shaped garbage frames, max error ~180 gray levels,
+        and downstream shape guards never fired). Shared scanner:
+        io/mjpeg.py:sof_dims."""
+        from vision_basedsensor_tpu.io.mjpeg import sof_dims
+        return sof_dims(jpeg)
+
+    def _ensure_meta(self, first_jpeg: bytes) -> None:
+        """Learn (or re-learn) the stream geometry from the batch's first
+        frame. The SOF sniff catches pixel-dimension changes; block-grid
+        changes at the SAME pixel dims (chroma subsampling switch, e.g.
+        4:4:4 -> 4:2:0 at w % 16 != 0) are caught after the batch call by
+        comparing the returned meta — see the retry in decode[_packed]."""
+        if self._meta is None:
+            self._probe(first_jpeg)
+            return
+        dims = self._sof_dims(first_jpeg)
+        if dims is not None and dims != (self._meta[0], self._meta[1]):
+            self._probe(first_jpeg)
+            self._cap = self._scap = 0
+
+    def _relearn_or_raise(self, jpegs: list[bytes], got: int, n: int) -> None:
+        """After a batch call that failed or returned a different geometry:
+        re-probe frame 0 to distinguish a block-grid change at the same
+        pixel dims (retry with fresh meta) from a genuinely malformed frame
+        (raise the original batch error)."""
+        old = self._meta
+        self._probe(jpegs[0])           # raises if frame 0 is malformed
+        if self._meta == old and got != n:
+            raise ValueError(f"JPEG batch decode failed at frame {got}")
+        self._cap = self._scap = 0
 
     def _probe(self, jpeg: bytes) -> None:
         import ctypes
@@ -232,16 +239,6 @@ class MjpegBatchDecoder:
 
     def _batch_args(self, jpegs: list[bytes]):
         import ctypes
-        if self._meta is None:
-            self._probe(jpegs[0])
-        else:
-            dims = self._sof_dims(jpegs[0])
-            if dims is not None and dims != (self._meta[0], self._meta[1]):
-                # Geometry changed mid-stream: re-learn it and drop the
-                # block-count-derived packed-buffer sizing so decode_packed
-                # re-derives capacities for the new blocks-per-frame.
-                self._probe(jpegs[0])
-                self._cap = self._scap = 0
         data = b"".join(jpegs)
         n = len(jpegs)
         offsets = np.zeros(n, np.int64)
@@ -259,19 +256,29 @@ class MjpegBatchDecoder:
         """Decode a batch of same-geometry JPEGs to ``(B, H, W)`` float32
         via the DENSE coefficient transport."""
         import ctypes
+        self._ensure_meta(jpegs[0])
         args = self._batch_args(jpegs)
-        w, h, bw, bh = self._meta
         n = args[-1]
-        blocks = bw * bh
-        coeffs = np.empty((n, bh, bw, 64), np.int16)
-        meta = (ctypes.c_int32 * 4)()
-        qtables = np.empty((n, 64), np.uint16)
-        got = self._lib.vbs_mjpeg_batch_y_coeffs(
-            *args,
-            coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), blocks,
-            meta, qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
-        if got != n:
-            raise ValueError(f"JPEG batch decode failed at frame {got}")
+        for attempt in range(2):
+            w, h, bw, bh = self._meta
+            blocks = bw * bh
+            coeffs = np.empty((n, bh, bw, 64), np.int16)
+            meta = (ctypes.c_int32 * 4)()
+            qtables = np.empty((n, 64), np.uint16)
+            got = self._lib.vbs_mjpeg_batch_y_coeffs(
+                *args,
+                coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), blocks,
+                meta, qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+            if got == n and (meta[0], meta[1], meta[2],
+                             meta[3]) == self._meta:
+                break
+            if attempt > 0:
+                raise ValueError(f"JPEG batch decode failed at frame {got}")
+            # A block-grid change at the same pixel dims (chroma subsampling
+            # switch) either fails the call (grid grew past the passed
+            # capacity) or succeeds with a different returned meta; both
+            # re-learn geometry and retry once with correct shapes.
+            self._relearn_or_raise(jpegs, got, n)
         self.last_stats = {"transport": "dense", "frames": n,
                            "bytes_shipped": coeffs.nbytes + qtables.nbytes}
         return idct_frames(jnp.asarray(coeffs), jnp.asarray(qtables),
@@ -282,55 +289,72 @@ class MjpegBatchDecoder:
         (delta-encoded sparse) transport — identical output to
         :meth:`decode`, a fraction of the host->device bytes."""
         import ctypes
-        args = self._batch_args(jpegs)
-        w, h, bw, bh = self._meta
-        n = args[-1]
-        blocks = bw * bh
-        # The device-side position reconstruction is an int32 cumsum over
-        # the batch's flat coefficient space (int64 is unavailable without
-        # x64 mode); past 2^31 positions would wrap negative and the
-        # scatter's mode="drop" would silently discard coefficients.
-        if n * blocks * 64 >= 2 ** 31:
-            raise ValueError(
-                f"packed transport: batch of {n} frames x {blocks} blocks "
-                f"exceeds the int32 position space ({n * blocks * 64} >= "
-                f"2^31); split the batch")
-        if self._cap == 0:
-            # First call: size the streams for typical sparsity (~5 entries
-            # per block incl. fillers, few spills) and grow on the specific
-            # capacity rc codes. Hard ceiling = every coefficient nonzero
-            # (fillers can't exceed the nonzero count + one per block).
-            self._cap = 5 * blocks * n
-            self._scap = max(blocks * n // 16, 1 << 12)
-        meta = (ctypes.c_int32 * 4)()
-        qtables = np.empty((n, 64), np.uint16)
-        counts = np.zeros(2, np.int64)
-        while True:
-            if self._gaps is None or self._gaps.size < self._cap:
-                self._gaps = np.empty(self._cap, np.uint8)
-                self._vals = np.empty(self._cap, np.int8)
-            if self._sgaps is None or self._sgaps.size < self._scap:
-                self._sgaps = np.empty(self._scap, np.uint8)
-                self._sdeltas = np.empty(self._scap, np.int16)
-            got = self._lib.vbs_mjpeg_batch_y_coeffs_delta(
-                *args,
-                self._gaps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                self._vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-                self._cap,
-                self._sgaps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                self._sdeltas.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-                self._scap,
-                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                blocks, meta,
-                qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
-            if got == n:
+        self._ensure_meta(jpegs[0])
+        n = len(jpegs)
+        args = None
+        for attempt in range(2):
+            w, h, bw, bh = self._meta
+            blocks = bw * bh
+            # The device-side position reconstruction is an int32 cumsum
+            # over the batch's flat coefficient space (int64 is unavailable
+            # without x64 mode); past 2^31 positions would wrap negative and
+            # the scatter's mode="drop" would silently discard coefficients.
+            # Checked BEFORE the payload join below — the clean rejection
+            # must not first concatenate hundreds of MB on a weak host.
+            if n * blocks * 64 >= 2 ** 31:
+                raise ValueError(
+                    f"packed transport: batch of {n} frames x {blocks} "
+                    f"blocks exceeds the int32 position space "
+                    f"({n * blocks * 64} >= 2^31); split the batch")
+            if args is None:
+                args = self._batch_args(jpegs)
+            if self._cap == 0:
+                # First call: size the streams for typical sparsity (~5
+                # entries per block incl. fillers, few spills) and grow on
+                # the specific capacity rc codes. Hard ceiling = every
+                # coefficient nonzero (fillers can't exceed the nonzero
+                # count + one per block).
+                self._cap = 5 * blocks * n
+                self._scap = max(blocks * n // 16, 1 << 12)
+            meta = (ctypes.c_int32 * 4)()
+            qtables = np.empty((n, 64), np.uint16)
+            counts = np.zeros(2, np.int64)
+            while True:
+                if self._gaps is None or self._gaps.size < self._cap:
+                    self._gaps = np.empty(self._cap, np.uint8)
+                    self._vals = np.empty(self._cap, np.int8)
+                if self._sgaps is None or self._sgaps.size < self._scap:
+                    self._sgaps = np.empty(self._scap, np.uint8)
+                    self._sdeltas = np.empty(self._scap, np.int16)
+                got = self._lib.vbs_mjpeg_batch_y_coeffs_delta(
+                    *args,
+                    self._gaps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self._vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    self._cap,
+                    self._sgaps.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint8)),
+                    self._sdeltas.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int16)),
+                    self._scap,
+                    counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    blocks, meta,
+                    qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+                if got == n:
+                    break
+                if got == _RC_VAL_CAP:
+                    self._cap = min(2 * self._cap, 66 * blocks * n)
+                elif got == _RC_SPILL_CAP:
+                    self._scap = min(2 * self._scap, 66 * blocks * n)
+                else:
+                    break
+            if got == n and (meta[0], meta[1], meta[2],
+                             meta[3]) == self._meta:
                 break
-            if got == _RC_VAL_CAP:
-                self._cap = min(2 * self._cap, 66 * blocks * n)
-            elif got == _RC_SPILL_CAP:
-                self._scap = min(2 * self._scap, 66 * blocks * n)
-            else:
+            if attempt > 0:
                 raise ValueError(f"JPEG batch decode failed at frame {got}")
+            # Block-grid change at the same pixel dims: re-learn and retry
+            # once with correct shapes (see decode()).
+            self._relearn_or_raise(jpegs, got, n)
         e_n, s_n = int(counts[0]), int(counts[1])
         e_b = min(_bucket(e_n), self._gaps.size)
         s_b = min(_bucket(s_n), self._sgaps.size)
