@@ -275,3 +275,61 @@ def test_native_decoder_survives_malformed_bytes():
             np.asarray(dec.decode_packed([bytes(j)]))
         except ValueError:
             pass
+
+
+def test_chroma_subsampling_switch_mid_stream():
+    """Review finding (round 3, second pass): a chroma-subsampling switch
+    at UNCHANGED pixel dims changes the luma block grid when w % 16 != 0
+    (4:4:4 -> 13x7 vs 4:2:0 -> 14x8 at 100x56) — invisible to the SOF
+    dimension sniff. The decoder must detect it from the native call's
+    returned meta and retry with fresh geometry, both directions."""
+    _lib_or_skip()
+    import io
+
+    from PIL import Image
+
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+
+    h, w = 56, 100
+    rgb = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
+    jp, ref = {}, {}
+    for sub in (0, 2):
+        b = io.BytesIO()
+        Image.fromarray(rgb).save(b, format="JPEG", quality=70,
+                                  subsampling=sub)
+        jp[sub] = b.getvalue()
+        ref[sub] = cv2.imdecode(np.frombuffer(jp[sub], np.uint8),
+                                cv2.IMREAD_GRAYSCALE).astype(np.float32)
+
+    for method in ("decode", "decode_packed"):
+        dec = MjpegBatchDecoder()
+        grids = []
+        for sub in (0, 2, 0):
+            out = np.asarray(getattr(dec, method)([jp[sub]]))[0]
+            grids.append(dec._meta[2:])
+            assert out.shape == (h, w)
+            assert np.abs(out - ref[sub]).max() <= 2.0, (method, sub)
+        assert grids[0] != grids[1]        # the grids genuinely differ
+
+
+def test_single_component_jpeg_with_subsampled_factors():
+    """A one-component JPEG is NON-interleaved per the spec (A.2.2) even
+    when its SOF declares 2x2 sampling factors — PIL emits exactly that
+    for grayscale images saved with subsampling=2; honoring the factors
+    produced a 2x2-MCU misparse (garbage frames, native fix round 3)."""
+    _lib_or_skip()
+    import io
+
+    from PIL import Image
+
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+
+    img = _textured(56, 100)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, format="JPEG", quality=70, subsampling=2)
+    j = b.getvalue()
+    dec = MjpegBatchDecoder()
+    out = np.asarray(dec.decode_packed([j]))[0]
+    assert dec._meta[2:] == (13, 7)        # ceil(100/8) x ceil(56/8)
+    ref = np.asarray(Image.open(io.BytesIO(j))).astype(np.float32)
+    assert np.abs(out - ref).max() <= 2.0

@@ -376,7 +376,15 @@ static int decode_y(const uint8_t* data, int len, Sink& sink, int max_blocks,
         if (width <= 0 || height <= 0) return -10;
         if (!qseen[comp[0].tq]) return -10;
 
-        const int h0 = comp[0].h, v0 = comp[0].v;
+        // A single-component image is NON-interleaved per the spec
+        // (A.2.2): the MCU is one data unit and the declared sampling
+        // factors do not tile the luma into h0 x v0 MCU blocks. PIL emits
+        // grayscale JPEGs with h=v=2 when asked for 4:2:0 subsampling;
+        // libjpeg decodes them as plain ceil(w/8) x ceil(h/8) grids —
+        // honoring the factors here produced a 2x2-interleaved misparse
+        // (garbage frames, round-3 review).
+        const int h0 = (ncomp == 1) ? 1 : comp[0].h;
+        const int v0 = (ncomp == 1) ? 1 : comp[0].v;
         const int mcux = (width + 8 * h0 - 1) / (8 * h0);
         const int mcuy = (height + 8 * v0 - 1) / (8 * v0);
         const int bw = mcux * h0, bh = mcuy * v0;
