@@ -333,3 +333,38 @@ def test_single_component_jpeg_with_subsampled_factors():
     assert dec._meta[2:] == (13, 7)        # ceil(100/8) x ceil(56/8)
     ref = np.asarray(Image.open(io.BytesIO(j))).astype(np.float32)
     assert np.abs(out - ref).max() <= 2.0
+
+
+def test_malicious_headers_rejected():
+    """Security review (round 3): three header-validation holes let pure
+    header bytes drive stack OOB accesses — an over-subscribed (non-Kraft)
+    DHT smashed the Huffman LUT fill (attacker-controlled stack WRITE), an
+    out-of-range SOF quant-table selector read+leaked stack memory, and
+    unchecked SOS table selectors indexed past the 4-element Huff arrays.
+    Each must now fail with a clean parse error."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+
+    img = _textured(32, 32)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 70])
+    base = enc.tobytes()
+
+    def corrupt(marker, offset, value):
+        i = base.index(marker)
+        b = bytearray(base)
+        b[i + offset] = value
+        return bytes(b)
+
+    # Over-subscribed DHT: 4 codes of length 1 (max 2 fit).
+    i = base.index(b"\xff\xc4")
+    dht = bytearray(base)
+    dht[i + 5] = 4                       # counts[0] (L1) = 4
+    # SOF0 tq selector out of range (payload: len2 prec1 h2 w2 ncomp1
+    # id1 hv1 tq1 -> tq at marker+12).
+    sof_tq = corrupt(b"\xff\xc0", 2 + 10, 0xFF)
+    # SOS Td/Ta selectors out of range (byte after comp id).
+    sos = corrupt(b"\xff\xda", 2 + 4, 0xFF)
+
+    for name, j in [("dht", bytes(dht)), ("sof_tq", sof_tq), ("sos", sos)]:
+        with pytest.raises(ValueError, match="JPEG"):
+            MjpegBatchDecoder().decode_packed([j])

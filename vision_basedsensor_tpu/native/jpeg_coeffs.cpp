@@ -129,7 +129,7 @@ struct Huff {
   uint8_t vals[256];
   bool ok = false;
 
-  void build(const uint8_t counts[16], const uint8_t* symbols, int nsym) {
+  bool build(const uint8_t counts[16], const uint8_t* symbols, int nsym) {
     std::memcpy(vals, symbols, nsym);
     int code = 0, k = 0;
     uint16_t codes[256];
@@ -143,6 +143,12 @@ struct Huff {
         ++code;
         ++k;
       }
+      // Kraft check: an over-subscribed table (code > 2^l after assigning
+      // this length's codes) is invalid per T.81 C.2 — and without this
+      // rejection the 9-bit LUT fill below computes codes[i] << shift
+      // past lut_sym[512], an attacker-controlled stack WRITE from pure
+      // header bytes (round-3 security review).
+      if (code > (1 << l)) { ok = false; return false; }
       maxcode[l] = code - 1;
       code <<= 1;
     }
@@ -159,6 +165,7 @@ struct Huff {
       }
     }
     ok = true;
+    return true;
   }
 
   inline int decode(BitReader& br) const {
@@ -189,7 +196,7 @@ const uint8_t kZigzag[64] = {
 
 struct Component {
   int id = 0, h = 1, v = 1, tq = 0, td = 0, ta = 0;
-  int32_t pred = 0;
+  int64_t pred = 0;  // int32 overflows on adversarial DC chains (UB)
 };
 
 inline int rd16(const uint8_t* p) { return (p[0] << 8) | p[1]; }
@@ -296,6 +303,10 @@ static int decode_y(const uint8_t* data, int len, Sink& sink, int max_blocks,
 
   while (p + 4 <= end) {
     if (*p != 0xFF) return -2;
+    if (p[1] == 0xFF) {  // fill-byte padding before a marker (T.81 B.1.1.2)
+      ++p;
+      continue;
+    }
     uint8_t marker = p[1];
     p += 2;
     if (marker == 0xD9) return -3;           // EOI before SOS
@@ -335,6 +346,10 @@ static int decode_y(const uint8_t* data, int len, Sink& sink, int max_blocks,
           comp[c].h = seg[7 + 3 * c] >> 4;
           comp[c].v = seg[7 + 3 * c] & 15;
           comp[c].tq = seg[8 + 3 * c];
+          // tq indexes the 4-element qtables/qseen stack arrays; DQT
+          // validates its own selector but SOF's was unchecked — an
+          // out-of-range byte here read (and leaked) stack memory.
+          if (comp[c].tq > 3) return -6;
           if (comp[c].h < 1 || comp[c].h > 2 || comp[c].v < 1 || comp[c].v > 2)
             return -6;
           if (c > 0 && (comp[c].h != 1 || comp[c].v != 1)) return -6;
@@ -351,7 +366,9 @@ static int decode_y(const uint8_t* data, int len, Sink& sink, int max_blocks,
           int nsym = 0;
           for (int i = 0; i < 16; ++i) nsym += seg[1 + i];
           if (seg + 17 + nsym > segend || nsym > 256) return -8;
-          (tc ? huff_ac[th] : huff_dc[th]).build(seg + 1, seg + 17, nsym);
+          if (!(tc ? huff_ac[th] : huff_dc[th]).build(seg + 1, seg + 17,
+                                                      nsym))
+            return -8;  // over-subscribed (non-Kraft) table
           seg += 17 + nsym;
         }
         break;
@@ -370,6 +387,10 @@ static int decode_y(const uint8_t* data, int len, Sink& sink, int max_blocks,
             if (comp[c].id == cid) {
               comp[c].td = seg[2 + 2 * s] >> 4;
               comp[c].ta = seg[2 + 2 * s] & 15;
+              // Selectors index 4-element stack arrays of Huff structs;
+              // unchecked values read uninitialized memory whose decode
+              // tables then drive wild indexed loads.
+              if (comp[c].td > 3 || comp[c].ta > 3) return -9;
             }
           }
         }

@@ -364,7 +364,8 @@ class MjpegBatchDecoder:
         # scatter's unique-sorted-index contract. Real sparsity never gets
         # close (256x480p: ~78M + 255*~600k); adversarially dense inputs
         # fail cleanly here instead of corrupting.
-        if n * blocks * 64 + 255 * (e_b - e_n) >= 2 ** 31:
+        if (n * blocks * 64 + 255 * (e_b - e_n) >= 2 ** 31
+                or n * blocks * 64 + 255 * (s_b - s_n) >= 2 ** 31):
             raise ValueError(
                 "packed transport: tail-filler positions would exceed the "
                 "int32 position space; split the batch")
