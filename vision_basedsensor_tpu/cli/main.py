@@ -633,10 +633,15 @@ def cmd_run_live(args):
             cam = sess.calibration.to_camera()
         print(f"resumed session from {args.resume}")
     sp = StreamingPipeline(cam, cfg, ref=ref, carry=carry, assoc_xy=assoc_xy)
+    src = None
     if args.tpu_decode:
         from vision_basedsensor_tpu.io.mjpeg import MjpegTpuVideoSource
-        src = MjpegTpuVideoSource(args.url, max_frames=args.max_frames)
-    else:
+        try:
+            src = MjpegTpuVideoSource(args.url, max_frames=args.max_frames)
+        except RuntimeError as e:
+            print(f"--tpu-decode unavailable ({e}); falling back to host "
+                  "decode", file=sys.stderr)
+    if src is None:
         src = MjpegVideoSource(args.url, max_frames=args.max_frames)
     pub = None
     if args.publish is not None:
