@@ -168,8 +168,6 @@ def test_sharded_sequential_association_matches_single_device(setup):
     import dataclasses
 
     from vision_basedsensor_tpu.config import TrackConfig
-    from vision_basedsensor_tpu.pipeline import run_video
-
     cfg0, scene, frames, ref = setup
     cfg = dataclasses.replace(cfg0,
                               track=TrackConfig(association_mode="sequential"))
@@ -260,3 +258,30 @@ def test_pallas_kernels_survive_spmd_on_tpu():
     single = process_frames(frames, ref, scene.cam, cfg)
     np.testing.assert_allclose(np.asarray(out.recon.world),
                                np.asarray(single.recon.world), atol=1e-3)
+
+
+def test_sharded_chunked_warmup_uses_global_offset(setup):
+    """Review finding (round 3): the sharded carried step masked the first
+    warmup_frames of EVERY chunk instead of the whole stream. Two carried
+    4-frame chunks with warmup_frames=2 must mark exactly global frames
+    0-1 unseen — matching the single-device run_video."""
+    import dataclasses
+
+    cfg0, scene, frames, ref = setup
+    cfg = dataclasses.replace(cfg0,
+                              reconstruct=ReconstructConfig(warmup_frames=2))
+    mesh = make_mesh(jax.devices()[:4])
+    from vision_basedsensor_tpu.reconstruct.displacement import initial_carry
+    step = make_sharded_pipeline(mesh, scene.cam, cfg, apply_warmup=True,
+                                 with_carry=True)
+    carry = jax.device_put(initial_carry(65))
+    seen = []
+    for i in range(0, 8, 4):
+        out, carry = step(shard_frames(frames[i:i + 4], mesh),
+                          jax.device_put(ref), carry)
+        seen.append(np.asarray(out.recon.seen))
+    seen = np.concatenate(seen)
+    base = process_frames(frames, ref, scene.cam, cfg, apply_warmup=True)
+    np.testing.assert_array_equal(seen, np.asarray(base.recon.seen))
+    assert not seen[:2].any() and seen[2:].sum() > 0
+    assert step.frames_seen == 8

@@ -100,6 +100,41 @@ def test_session_checkpoint_resume(setup, tmp_path):
                                np.asarray(out_full.recon.cum_path), atol=1e-5)
 
 
+def test_resume_preserves_warmup_offset(setup, tmp_path):
+    """Review finding (round 3): frames_seen was never persisted, so a
+    warmup-enabled session resumed from a checkpoint re-masked the first
+    warmup_frames of the post-resume stream. Chunked+resumed must equal a
+    single batch."""
+    import dataclasses
+
+    from vision_basedsensor_tpu.io.session import load_session, save_session
+    from vision_basedsensor_tpu.pipeline import run_video
+
+    cfg0, scene, frames = setup
+    cfg = dataclasses.replace(cfg0,
+                              reconstruct=ReconstructConfig(warmup_frames=3))
+
+    sp = StreamingPipeline(scene.cam, cfg, apply_warmup=True)
+    out1 = sp.process(frames[:5])
+    save_session(str(tmp_path / "sess"), sp.ref, cfg, scan_carry=sp.carry,
+                 assoc_xy=sp.assoc_xy, frames_seen=sp.frames_seen)
+
+    sess = load_session(str(tmp_path / "sess"))
+    assert sess.frames_seen == 5
+    sp2 = StreamingPipeline(scene.cam, sess.config, ref=sess.ref,
+                            carry=sess.scan_carry or None,
+                            assoc_xy=sess.assoc_xy, apply_warmup=True,
+                            frames_seen=sess.frames_seen)
+    out2 = sp2.process(frames[5:])
+
+    seen = np.concatenate([np.asarray(out1.recon.seen),
+                           np.asarray(out2.recon.seen)])
+    base = run_video(frames, scene.cam, cfg, apply_warmup=True)
+    np.testing.assert_array_equal(seen, np.asarray(base.recon.seen))
+    assert not seen[:3].any()                  # warmup masked once, globally
+    assert (seen[3:].sum(axis=1) >= 55).all()  # and never re-applied
+
+
 def test_live_mjpeg_loop():
     """End-to-end: in-process MJPEG server w/ synthetic dome camera ->
     MJPEG client -> streaming pipeline."""

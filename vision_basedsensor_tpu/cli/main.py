@@ -624,15 +624,18 @@ def cmd_run_live(args):
         cam = _camera_from_args(args, (0, cfg.capture.height,
                                        cfg.capture.width))
     ref = carry = assoc_xy = None
+    fseen = 0
     if args.resume and os.path.exists(args.resume):
         sess = load_session(args.resume)
         ref, cfg, assoc_xy = sess.ref, sess.config, sess.assoc_xy
         carry = sess.scan_carry or None
+        fseen = sess.frames_seen
         if sess.calibration is not None:
             calibration = sess.calibration
             cam = sess.calibration.to_camera()
         print(f"resumed session from {args.resume}")
-    sp = StreamingPipeline(cam, cfg, ref=ref, carry=carry, assoc_xy=assoc_xy)
+    sp = StreamingPipeline(cam, cfg, ref=ref, carry=carry, assoc_xy=assoc_xy,
+                           frames_seen=fseen)
     src = None
     if args.tpu_decode:
         from vision_basedsensor_tpu.io.mjpeg import MjpegTpuVideoSource
@@ -680,7 +683,8 @@ def cmd_run_live(args):
                   flush=True)
         if args.resume and sp.ref is not None:
             save_session(args.resume, sp.ref, cfg, calibration=calibration,
-                         scan_carry=sp.carry, assoc_xy=sp.assoc_xy)
+                         scan_carry=sp.carry, assoc_xy=sp.assoc_xy,
+                         frames_seen=sp.frames_seen)
             print(f"session saved to {args.resume}")
 
 

@@ -25,11 +25,12 @@ class SessionState(NamedTuple):
     calibration: object | None      # CalibrationArtifact | None
     scan_carry: dict                # displacement-scan carry ({} if fresh)
     assoc_xy: object | None         # sequential-mode last-seen (65, 2) | None
+    frames_seen: int = 0            # global frame count (warmup offset)
 
 
 def save_session(path: str, ref, config: PipelineConfig,
                  calibration=None, scan_carry: dict | None = None,
-                 assoc_xy=None) -> None:
+                 assoc_xy=None, frames_seen: int = 0) -> None:
     """Write a session checkpoint (directory with npz + json)."""
     os.makedirs(path, exist_ok=True)
     arrays = {
@@ -39,6 +40,7 @@ def save_session(path: str, ref, config: PipelineConfig,
         "ref_ring": np.asarray(ref.ring),
         "ref_valid": np.asarray(ref.valid),
         "ref_axis_scale": np.asarray(ref.axis_scale),
+        "frames_seen": np.asarray(frames_seen, np.int64),
     }
     if scan_carry:
         for k, v in scan_carry.items():
@@ -69,6 +71,7 @@ def load_session(path: str) -> SessionState:
         carry = {k[len("carry_"):]: jnp.asarray(z[k])
                  for k in z.files if k.startswith("carry_")}
         assoc_xy = jnp.asarray(z["assoc_xy"]) if "assoc_xy" in z.files else None
+        fseen = int(z["frames_seen"]) if "frames_seen" in z.files else 0
     config = from_json(os.path.join(path, "config.json"))
     calib = None
     cpath = os.path.join(path, "calibration.json")
@@ -76,4 +79,5 @@ def load_session(path: str) -> SessionState:
         from vision_basedsensor_tpu.calibrate import CalibrationArtifact
         calib = CalibrationArtifact.load_json(cpath)
     return SessionState(ref=ref, config=config, calibration=calib,
-                        scan_carry=carry, assoc_xy=assoc_xy)
+                        scan_carry=carry, assoc_xy=assoc_xy,
+                        frames_seen=fseen)

@@ -35,7 +35,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vision_basedsensor_tpu.config import PipelineConfig
 from vision_basedsensor_tpu.core.camera import CameraModel
-from vision_basedsensor_tpu.core.imaging import crop_frames
 from vision_basedsensor_tpu.detect import detect_markers
 from vision_basedsensor_tpu.pipeline import (PipelineOutputs, _preprocess,
                                              prepare_undistortion)
@@ -67,12 +66,19 @@ def shard_frames(frames: jnp.ndarray, mesh: Mesh,
     for them and the displacement scan's carry is untouched — callers just
     slice outputs back to the true batch length (``out.recon.world[:B]``).
     """
+    import numpy as np
     spec = _frame_spec(mesh)
     n = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
     rem = (-frames.shape[0]) % n
     if rem and pad:
-        frames = jnp.concatenate(
-            [frames, jnp.zeros((rem,) + frames.shape[1:], frames.dtype)])
+        # Pad on the HOST: jnp.concatenate would materialize the full
+        # padded batch on the default device before resharding, capping the
+        # shardable batch at one chip's HBM and adding a dev0->mesh
+        # transfer (round-3 review). device_put of a host array shards
+        # directly.
+        host = np.asarray(frames)
+        frames = np.concatenate(
+            [host, np.zeros((rem,) + host.shape[1:], host.dtype)])
     return jax.device_put(frames, NamedSharding(mesh, spec))
 
 
@@ -159,17 +165,17 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
     prep_cache: dict = {}
 
     def _prep_for(shape):
-        if shape not in prep_cache:
+        hw = tuple(int(d) for d in shape[1:3])   # the map ignores batch size
+        if hw not in prep_cache:
             if cfg.undistort_frames:
-                h, w = shape[1:3]
-                prep_cache[shape] = prepare_undistortion(cam, int(h), int(w),
-                                                         cfg, crop)
+                prep_cache[hw] = prepare_undistortion(cam, hw[0], hw[1],
+                                                      cfg, crop)
             else:
-                prep_cache[shape] = (None, cam)
-        return prep_cache[shape]
+                prep_cache[hw] = (None, cam)
+        return prep_cache[hw]
 
     def _body(frames: jnp.ndarray, ref: ReferenceMarkers, carry, assoc_xy,
-              rectify_map, recon_cam):
+              rectify_map, recon_cam, offset):
         frames_c = _preprocess(frames, cfg, crop, rectify_map)
         if spatial:
             # Keep the frames row-sharded through the (XLA) filter stack;
@@ -195,7 +201,12 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
             recon_cam, tracked.xy, tracked.axes, tracked.valid,
             cfg.reconstruct)
         if cfg.reconstruct.warmup_frames > 0 and apply_warmup:
-            keep = jnp.arange(world.shape[0]) >= cfg.reconstruct.warmup_frames
+            # GLOBAL frame index: a carried (chunked) session must mask only
+            # the first warmup_frames of the whole stream, not of every
+            # chunk (round-3 review; StreamingPipeline._chunk threads the
+            # same offset).
+            keep = (offset + jnp.arange(world.shape[0])
+                    >= cfg.reconstruct.warmup_frames)
             ok = ok & keep[:, None]
             world = jnp.where(ok[..., None], world, 0.0)
         # Replicate the tiny per-marker state so every device runs the
@@ -217,24 +228,28 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
         if with_carry and sequential:
             @functools.partial(jax.jit,
                                in_shardings=(frame_sharding, replicated,
+                                             replicated, replicated,
+                                             replicated),
+                               donate_argnums=(0,))
+            def jstep(frames, ref, carry, assoc_xy, offset):
+                return _body(frames, ref, carry, assoc_xy, rectify_map,
+                             recon_cam, offset)
+        elif with_carry:
+            @functools.partial(jax.jit,
+                               in_shardings=(frame_sharding, replicated,
                                              replicated, replicated),
                                donate_argnums=(0,))
-            def jstep(frames, ref, carry, assoc_xy):
-                return _body(frames, ref, carry, assoc_xy, rectify_map,
-                             recon_cam)
-        elif with_carry:
+            def jstep(frames, ref, carry, offset):
+                return _body(frames, ref, carry, None, rectify_map,
+                             recon_cam, offset)
+        else:
             @functools.partial(jax.jit,
                                in_shardings=(frame_sharding, replicated,
                                              replicated),
                                donate_argnums=(0,))
-            def jstep(frames, ref, carry):
-                return _body(frames, ref, carry, None, rectify_map, recon_cam)
-        else:
-            @functools.partial(jax.jit,
-                               in_shardings=(frame_sharding, replicated),
-                               donate_argnums=(0,))
-            def jstep(frames, ref):
-                return _body(frames, ref, None, None, rectify_map, recon_cam)
+            def jstep(frames, ref, offset):
+                return _body(frames, ref, None, None, rectify_map,
+                             recon_cam, offset)
         return jstep
 
     step_cache: dict = {}
@@ -246,8 +261,17 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
         return step_cache[shape]
 
     def step(frames, *rest):
-        return _jitted_for(frames)(frames, *rest)
+        off = jnp.int32(step.frames_seen if with_carry else 0)
+        out = _jitted_for(frames)(frames, *rest, off)
+        if with_carry:
+            # Auto-count; zero-pad tail frames in a final short chunk
+            # inflate the counter only AFTER the last real frame, where no
+            # later chunk can be affected. Callers resuming a checkpoint
+            # set step.frames_seen from the session (io/session.py).
+            step.frames_seen += int(frames.shape[0])
+        return out
 
+    step.frames_seen = 0
     # Expose the shape-resolved jitted function (collective_ops_in_hlo and
     # AOT users need .lower()).
     step.jitted_for = _jitted_for
@@ -265,6 +289,7 @@ def pallas_custom_calls_in_hlo(step, *example_args) -> int:
     """
     if hasattr(step, "jitted_for"):   # make_sharded_pipeline wrapper
         step = step.jitted_for(example_args[0])
+        example_args = (*example_args, jnp.int32(0))   # the warmup offset
     text = step.lower(*example_args).compile().as_text()
     return sum(1 for line in text.splitlines()
                if "custom-call" in line and "tpu_custom_call" in line)
@@ -281,10 +306,14 @@ def collective_ops_in_hlo(step, *example_args) -> list[str]:
     import re
     if hasattr(step, "jitted_for"):   # make_sharded_pipeline wrapper
         step = step.jitted_for(example_args[0])
+        example_args = (*example_args, jnp.int32(0))   # the warmup offset
     text = step.lower(*example_args).compile().as_text()
+    # Negative lookahead: 'all-gather-done(' would otherwise match the
+    # 'all-gather' alternative ('-' is a word boundary), double-counting
+    # every async pair on real-TPU HLO (round-3 review).
     pat = re.compile(r"\b(all-gather(?:-start)?|all-reduce(?:-start)?|"
                      r"all-to-all|collective-permute(?:-start)?|"
-                     r"reduce-scatter)\b")
+                     r"reduce-scatter)\b(?!-done)")
     # Instruction definitions look like "%name = type op-name(...)"; count
     # each op instance once (skip the -done halves of async pairs).
     ops = []

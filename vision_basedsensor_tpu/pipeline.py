@@ -147,7 +147,7 @@ class StreamingPipeline:
                  ref: ReferenceMarkers | None = None,
                  carry: dict | None = None, crop: bool = False,
                  assoc_xy: jnp.ndarray | None = None,
-                 apply_warmup: bool = False):
+                 apply_warmup: bool = False, frames_seen: int = 0):
         self.cam = cam
         self.cfg = cfg
         self.ref = ref
@@ -155,7 +155,10 @@ class StreamingPipeline:
         self.assoc_xy = assoc_xy  # sequential-mode last-seen (65, 2)
         self.apply_warmup = apply_warmup
         self.crop = crop
-        self.frames_seen = 0
+        # Resuming a warmup-enabled session must restore the GLOBAL frame
+        # count (io/session.py persists it), or the first warmup_frames of
+        # the post-resume stream get re-masked (round-3 review).
+        self.frames_seen = frames_seen
         self._chunk = None
         self._rectify_map = None
         self._frame_hw = None  # (H, W) the session is built for
