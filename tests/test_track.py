@@ -126,3 +126,69 @@ def test_kmeans_matches_sklearn(rng):
     sk_order = np.argsort(km.cluster_centers_.ravel())
     sk_l = np.argsort(sk_order)[km.labels_]
     np.testing.assert_array_equal(np.asarray(ours_l), sk_l)
+
+
+def test_sequential_association_does_not_latch_onto_neighbor():
+    """Review finding (round 3): while marker A is occluded, a neighbor B
+    drifting inside A's gate used to CAPTURE A's last-sighting carry —
+    slot A then tracked B forever (permanent identity duplication +
+    phantom displacement). The mutual-nearest (one-to-one) constraint
+    keeps B's detection with slot B, A's carry stays put, and A
+    re-associates the moment it reappears."""
+    from vision_basedsensor_tpu.detect.detector import Detections
+    from vision_basedsensor_tpu.track.associate import associate_sequential
+    from vision_basedsensor_tpu.track.rings import ReferenceMarkers
+
+    n, k = 65, 4
+    ref_xy = np.zeros((n, 2), np.float32)
+    ref_xy[0] = [100.0, 100.0]      # marker A
+    ref_xy[1] = [130.0, 100.0]      # marker B
+    ref_valid = np.zeros(n, bool)
+    ref_valid[:2] = True
+    ref = ReferenceMarkers(xy=jnp.asarray(ref_xy),
+                           axes=jnp.ones((n, 2)), angle=jnp.zeros(n),
+                           ring=jnp.zeros(n, jnp.int32),
+                           valid=jnp.asarray(ref_valid), axis_scale=1.0)
+
+    # 4 frames: t0 both visible; t1-t2 A occluded while B drifts to within
+    # A's 20 px gate; t3 A reappears at its original spot.
+    det_xy = np.zeros((4, k, 2), np.float32)
+    det_valid = np.zeros((4, k), bool)
+    det_xy[0, 0], det_xy[0, 1] = [100, 100], [130, 100]
+    det_valid[0, :2] = True
+    det_xy[1, 0] = [118, 100]       # B only, 18 px from A's carry
+    det_valid[1, 0] = True
+    det_xy[2, 0] = [112, 100]
+    det_valid[2, 0] = True
+    det_xy[3, 0], det_xy[3, 1] = [100, 100], [112, 100]   # A returns
+    det_valid[3, :2] = True
+
+    det = Detections(xy=jnp.asarray(det_xy),
+                     axes=jnp.ones((4, k, 2)), angle=jnp.zeros((4, k)),
+                     score=jnp.ones((4, k)), valid=jnp.asarray(det_valid),
+                     occluded=jnp.zeros((4, k), bool))
+    tracked = associate_sequential(ref, det, 20.0)
+    v = np.asarray(tracked.valid)
+    xy = np.asarray(tracked.xy)
+    # While A is occluded, its slot must stay INVALID (B's detection is
+    # closer to B's own carry), not adopt B's position.
+    assert v[0, 0] and v[0, 1]
+    assert not v[1, 0] and v[1, 1]
+    assert not v[2, 0] and v[2, 1]
+    # On reappearance A recovers its own detection at (100, 100).
+    assert v[3, 0] and v[3, 1]
+    np.testing.assert_allclose(xy[3, 0], [100, 100])
+    np.testing.assert_allclose(xy[3, 1], [112, 100])
+
+
+def test_initialize_raises_on_empty_first_frame():
+    """A first frame with no detectable markers (capped lens, wrong
+    channel order) must fail loudly like the reference
+    (marker_detection.py:278), not hand back an all-invalid table that
+    tracks a whole session of zeros."""
+    from vision_basedsensor_tpu.config import PipelineConfig
+    from vision_basedsensor_tpu.pipeline import initialize
+
+    dark = jnp.zeros((240, 384), jnp.float32)
+    with pytest.raises(ValueError, match="no markers detected"):
+        initialize(dark, PipelineConfig())

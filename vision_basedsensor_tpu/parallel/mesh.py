@@ -39,6 +39,7 @@ from vision_basedsensor_tpu.detect import detect_markers
 from vision_basedsensor_tpu.pipeline import (PipelineOutputs, _preprocess,
                                              prepare_undistortion)
 from vision_basedsensor_tpu.reconstruct import displacement_scan
+from vision_basedsensor_tpu.reconstruct.displacement import warmup_mask
 from vision_basedsensor_tpu.track import (ReferenceMarkers, associate,
                                           associate_sequential)
 from vision_basedsensor_tpu.reconstruct.depth import reconstruct_positions
@@ -200,15 +201,13 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
         world, ok = reconstruct_positions(
             recon_cam, tracked.xy, tracked.axes, tracked.valid,
             cfg.reconstruct)
-        if cfg.reconstruct.warmup_frames > 0 and apply_warmup:
+        if apply_warmup:
             # GLOBAL frame index: a carried (chunked) session must mask only
             # the first warmup_frames of the whole stream, not of every
             # chunk (round-3 review; StreamingPipeline._chunk threads the
-            # same offset).
-            keep = (offset + jnp.arange(world.shape[0])
-                    >= cfg.reconstruct.warmup_frames)
-            ok = ok & keep[:, None]
-            world = jnp.where(ok[..., None], world, 0.0)
+            # same offset through the shared helper).
+            world, ok = warmup_mask(world, ok,
+                                    cfg.reconstruct.warmup_frames, offset)
         # Replicate the tiny per-marker state so every device runs the
         # identical scan; XLA inserts one all-gather of (B, 65, 3+1).
         world = jax.lax.with_sharding_constraint(world, replicated)

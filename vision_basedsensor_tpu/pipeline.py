@@ -81,14 +81,38 @@ def _preprocess(frames: jnp.ndarray, cfg: PipelineConfig, crop: bool,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def initialize(first_frame: jnp.ndarray, cfg: PipelineConfig,
-               crop: bool = False,
-               rectify_map: jnp.ndarray | None = None) -> ReferenceMarkers:
-    """Frame-0 prologue: detect markers, assign canonical identities, and
-    measure the session's photometric axis-calibration scalar."""
+def _initialize_jit(first_frame: jnp.ndarray, cfg: PipelineConfig,
+                    crop: bool = False,
+                    rectify_map: jnp.ndarray | None = None
+                    ) -> ReferenceMarkers:
     first_frame = _preprocess(first_frame, cfg, crop, rectify_map)
     det, scale = detect_markers_and_scale(first_frame, cfg.detect)
     return assign_identities(det, cfg.track)._replace(axis_scale=scale)
+
+
+def initialize(first_frame: jnp.ndarray, cfg: PipelineConfig,
+               crop: bool = False,
+               rectify_map: jnp.ndarray | None = None,
+               allow_empty: bool = False) -> ReferenceMarkers:
+    """Frame-0 prologue: detect markers, assign canonical identities, and
+    measure the session's photometric axis-calibration scalar.
+
+    ``allow_empty`` skips the no-markers guard — for compile-validation
+    harnesses (``__graft_entry__.dryrun_multichip``) whose tiny synthetic
+    frames legitimately contain no detectable markers."""
+    ref = _initialize_jit(first_frame, cfg, crop, rectify_map)
+    if allow_empty:
+        return ref
+    # Fail loudly like the reference (marker_detection.py:278) rather than
+    # silently tracking an all-invalid table for the whole session — a
+    # capped lens / wrong channel order otherwise produces a "successful"
+    # run of all-zero outputs (round-3 review). Host-side check on the
+    # tiny concrete table.
+    import numpy as np
+    if int(np.asarray(ref.valid).sum()) == 0:
+        raise ValueError("no markers detected in the first frame — check "
+                         "the camera/lens, channel_order, and crop settings")
+    return ref
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -168,7 +192,7 @@ class StreamingPipeline:
         map needs the raw H, W)."""
         from vision_basedsensor_tpu.reconstruct.depth import reconstruct_positions
         from vision_basedsensor_tpu.reconstruct.displacement import (
-            displacement_scan, initial_carry)
+            displacement_scan, initial_carry, warmup_mask)
 
         cam = self.cam
         cfg = self.cfg
@@ -196,15 +220,14 @@ class StreamingPipeline:
             world, ok = reconstruct_positions(
                 cam, tracked.xy, tracked.axes, tracked.valid,
                 cfg.reconstruct)
-            if apply_warmup and cfg.reconstruct.warmup_frames > 0:
+            if apply_warmup:
                 # GLOBAL frame index (chunk offset + local index), so
                 # chunked runs match reconstruct_sequence's batch warmup
                 # regardless of chunk size; offset is traced -> no
                 # per-chunk recompiles.
-                keep = (offset + jnp.arange(world.shape[0])
-                        ) >= cfg.reconstruct.warmup_frames
-                ok = ok & keep[:, None]
-                world = jnp.where(ok[..., None], world, 0.0)
+                world, ok = warmup_mask(world, ok,
+                                        cfg.reconstruct.warmup_frames,
+                                        offset)
             recon, carry_out = displacement_scan(world, ok, cfg.reconstruct,
                                                  carry=carry_in,
                                                  return_carry=True)

@@ -69,7 +69,7 @@ def displacement_scan(world: jnp.ndarray, seen: jnp.ndarray,
 
         first = jnp.where((~c["first_ok"] & ok)[:, None], pos, c["first"])
         first_ok = c["first_ok"] | ok
-        ff = jnp.where((first_ok & ok)[:, None], pos - first, 0.0)
+        ff = jnp.where(ok[:, None], pos - first, 0.0)
 
         new_c = dict(
             last=jnp.where(ok[:, None], pos, c["last"]),
@@ -89,6 +89,21 @@ def displacement_scan(world: jnp.ndarray, seen: jnp.ndarray,
     return recon
 
 
+def warmup_mask(world: jnp.ndarray, ok: jnp.ndarray,
+                warmup_frames: int, offset=0):
+    """Mask the first ``warmup_frames`` GLOBAL frames of a stream
+    (``3d_reconstruction.py:255-256`` semantics). ``offset`` is the global
+    index of this chunk's first frame — the single definition shared by
+    the batch API (offset 0), StreamingPipeline, and the sharded pipeline,
+    so the chunked/resumed variants cannot drift from the batch one again
+    (round-3 review: two of the three hand-rolled copies had)."""
+    if warmup_frames <= 0:
+        return world, ok
+    keep = (offset + jnp.arange(world.shape[0])) >= warmup_frames
+    ok = ok & keep[:, None]
+    return jnp.where(ok[..., None], world, 0.0), ok
+
+
 def reconstruct_sequence(cam: CameraModel, tracked: TrackedFrames,
                          cfg: ReconstructConfig,
                          apply_warmup: bool = True) -> Reconstruction:
@@ -100,9 +115,6 @@ def reconstruct_sequence(cam: CameraModel, tracked: TrackedFrames,
     """
     world, ok = reconstruct_positions(
         cam, tracked.xy, tracked.axes, tracked.valid, cfg)
-    if apply_warmup and cfg.warmup_frames > 0:
-        b = world.shape[0]
-        keep = jnp.arange(b) >= cfg.warmup_frames
-        ok = ok & keep[:, None]
-        world = jnp.where(ok[..., None], world, 0.0)
+    if apply_warmup:
+        world, ok = warmup_mask(world, ok, cfg.warmup_frames)
     return displacement_scan(world, ok, cfg)

@@ -82,10 +82,23 @@ def associate_sequential(ref: ReferenceMarkers, det: Detections,
     """
     def step(carry_xy, det_t):
         d = jnp.linalg.norm(carry_xy[:, None, :] - det_t.xy[None, :, :], axis=-1)
-        d = jnp.where(det_t.valid[None, :], d, jnp.inf)
+        d = jnp.where(det_t.valid[None, :] & ref.valid[:, None], d, jnp.inf)
         j = jnp.argmin(d, axis=-1)
         dmin = jnp.min(d, axis=-1)
-        valid = ref.valid & (dmin <= gate_px)
+        # One-to-one: a detection belongs only to its CLOSEST claiming slot.
+        # Unlike the batch mode (which replicates the reference's
+        # many-to-one argmin and re-anchors to frame 0 every frame), the
+        # carried mode would otherwise LATCH permanently: while marker A is
+        # occluded, a neighbor B drifting inside A's gate captures A's
+        # carry, and from then on slot A tracks B forever — a fabricated
+        # phantom displacement the stream never recovers from (round-3
+        # review). With the mutual-nearest constraint, B's detection stays
+        # with slot B (distance ~0), slot A keeps its stale carry, and A
+        # re-associates the moment it reappears.
+        same = j[None, :] == j[:, None]              # slots sharing my pick
+        owner = jnp.argmin(jnp.where(same, dmin[None, :], jnp.inf), axis=-1)
+        slots = jnp.arange(j.shape[0])
+        valid = ref.valid & (dmin <= gate_px) & (owner == slots)
         xy = det_t.xy[j]
         new_carry = jnp.where(valid[:, None], xy, carry_xy)
         out = (jnp.where(valid[:, None], xy, 0.0),

@@ -45,6 +45,12 @@ def kmeans_1d(values: jnp.ndarray, mask: jnp.ndarray, k: int, iters: int
     innermost cluster — the radius-ordering step of ``marker_detection.py:312``
     built in. Deterministic: farthest-point initialization (quantile init
     fails on ring populations as unbalanced as 6/12/18/24/4).
+
+    Caveat (shared with the reference's sklearn KMeans, whose k-means++
+    init equally favors distant points): a single far-radius clutter
+    detection claims its own centroid and merges two real rings. The
+    DEFAULT ring_method='layout_prior' rejects such clutter geometrically;
+    this mode exists for reference parity on clean first frames.
     """
     big = jnp.asarray(1e12, values.dtype)
     vals = jnp.where(mask, values, big)
@@ -143,7 +149,7 @@ def assign_identities(det: Detections, cfg: TrackConfig) -> ReferenceMarkers:
 
     # Canonical id via the layout bijection (vectorized re-implementation of
     # layout.ring_angle_to_id in jnp for use under jit).
-    bases = jnp.asarray(np.concatenate([[1], 1 + np.cumsum(layout.RING_COUNTS)[:-1]]))
+    bases = jnp.asarray(layout._ring_base_ids())
     counts = jnp.asarray(layout.RING_COUNTS)
     starts = jnp.asarray(layout.RING_START_DEG, xy.dtype)
     steps = jnp.asarray(layout.RING_STEP_DEG, xy.dtype)
