@@ -27,13 +27,16 @@ def test_empty_frame_no_detections():
     assert not bool(np.asarray(det.valid).any())
 
 
-def test_empty_video_pipeline_runs():
-    """A video with no markers must flow through without NaNs or crashes."""
+def test_empty_video_fails_loudly():
+    """A first frame with no markers fails LOUDLY (the reference raises,
+    marker_detection.py:278; round-3 review replaced the old silent
+    all-invalid flow that "successfully" tracked a session of zeros).
+    NaN-freedom when markers vanish AFTER frame 0 is pinned by
+    test_occlusion_drops_only_hidden_markers."""
     scene = default_scene(240, 320)
     frames = jnp.full((3, 240, 320), 190.0, jnp.float32)
-    out = run_video(frames, scene.cam, _cfg(), apply_warmup=False)
-    assert not bool(np.asarray(out.recon.seen).any())
-    assert np.isfinite(np.asarray(out.recon.cum_path)).all()
+    with pytest.raises(ValueError, match="no markers detected"):
+        run_video(frames, scene.cam, _cfg(), apply_warmup=False)
 
 
 def test_occlusion_drops_only_hidden_markers():
