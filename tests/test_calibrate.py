@@ -295,3 +295,54 @@ def test_load_intrinsics_reference_writer_schema(tmp_path):
     assert art.fx == 601.5 and art.cy == 239.5
     np.testing.assert_allclose(art.dist, [-0.2, 0.04, 0.001, -0.0005, 0.0])
     assert art.intrinsic_reproj_error == 0.31
+
+
+def test_pnp_planar_world_points(rng):
+    """Review finding (round 3): coplanar world points (markers measured on
+    a flat plate — a standard rig) made every 6-point DLT rank-deficient
+    and returned an all-NaN pose where cv2's ITERATIVE succeeds. The
+    homography route must recover the pose for Z=0 and tilted planes, with
+    outliers, and reject n < 4 with a clear error."""
+    cam = CameraModel.create(600.0, 600.0, 320.0, 240.0, 0.0,
+                             np.array([-0.1, 0.03, 0.0005, -0.0002, 0.0]),
+                             dtype=jnp.float64)
+    rvec_true = np.array([0.2, -0.1, 0.05])
+    t_true = np.array([1.5, -2.0, 70.0])
+    c_true = cam._replace(R_wc=rodrigues(jnp.asarray(rvec_true)),
+                          T_wc=jnp.asarray(t_true))
+    R_true = np.asarray(rodrigues(jnp.asarray(rvec_true)))
+
+    q = rng.uniform(-16, 16, (40, 2))
+    nrm = np.array([0.3, 0.5, 0.81])
+    b1 = np.cross(nrm, [1.0, 0, 0]); b1 /= np.linalg.norm(b1)
+    b2 = np.cross(nrm, b1)
+    planes = {
+        "z0": np.c_[q, np.zeros(40)],
+        "tilted": np.outer(q[:, 0], b1) + np.outer(q[:, 1], b2) + [1, 2, 3],
+    }
+    for name, obj in planes.items():
+        img = np.array(cam_mod.project_points(c_true, jnp.asarray(obj)))
+        img += rng.normal(0, 0.3, img.shape)
+        out_idx = rng.choice(40, 6, replace=False)
+        img[out_idx] += rng.uniform(30, 90, (6, 2))
+        res = solve_pnp_ransac(obj, img, cam,
+                               CalibrateConfig(ransac_iterations=500))
+        assert np.isfinite(np.asarray(res.R_wc)).all(), name
+        assert np.abs(np.asarray(res.R_wc) - R_true).max() < 5e-3, name
+        np.testing.assert_allclose(np.asarray(res.T_wc), t_true, atol=0.3)
+        assert int(res.num_inliers) >= 30, name
+
+    with pytest.raises(ValueError, match="at least 4"):
+        solve_pnp_ransac(planes["z0"][:3], np.zeros((3, 2)), cam,
+                         CalibrateConfig())
+
+
+def test_zhang_rejects_too_few_views(rng):
+    """< 3 views leaves the closed-form B system underdetermined; the old
+    code returned confidently-wrong intrinsics with near-zero RMS (round-3
+    review) — it must raise instead, on every entry path."""
+    from vision_basedsensor_tpu.calibrate import calibrate_intrinsics
+    objs = np.zeros((2, 36, 3))
+    imgs = np.zeros((2, 36, 2))
+    with pytest.raises(ValueError, match=">= 3 views"):
+        calibrate_intrinsics(objs, imgs)

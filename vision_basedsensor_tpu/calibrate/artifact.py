@@ -117,9 +117,17 @@ class CalibrationArtifact:
             if len(r) >= 2 and isinstance(r[0], str) and isinstance(r[1], (int, float)):
                 params[r[0].strip()] = float(r[1])
         R = np.array([[params[f"R_wc_{i}{j}"] for j in (1, 2, 3)] for i in (1, 2, 3)])
-        T = np.array([
-            params.get(f"T_wc_{a}", params.get(f"T{a.lower()}_wc", 0.0))
-            for a in "XYZ"])
+        def _t(a):
+            # Both reference naming conventions accepted (quirk 6); a file
+            # with NEITHER fails loudly like the rotation path — a silent
+            # 0.0 default placed the camera at the world origin with no
+            # warning (round-3 review).
+            for key in (f"T_wc_{a}", f"T{a.lower()}_wc"):
+                if key in params:
+                    return params[key]
+            raise KeyError(f"extrinsics xlsx missing translation {a} "
+                           f"(tried T_wc_{a} / T{a.lower()}_wc)")
+        T = np.array([_t(a) for a in "XYZ"])
         return dataclasses.replace(
             self, R_wc=R, T_wc=T,
             extrinsic_reproj_error=params.get("Reprojection Error (px)"))

@@ -56,7 +56,14 @@ def saddle_response(gray: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
 
 def refine_subpixel(gray: jnp.ndarray, corners_xy: jnp.ndarray,
                     window: int = 11, iters: int = 10) -> jnp.ndarray:
-    """cornerSubPix-style refinement for corners ``(K, 2)`` on one image.
+    """cornerSubPix-STYLE refinement for corners ``(K, 2)`` on one image.
+
+    Same normal-equation iteration as cv2.cornerSubPix but NOT the same
+    parameters: ``window`` is the TOTAL window width (11 -> 11x11; cv2's
+    winSize=(11,11) means a 23x23 window) and the default ``iters=10`` has
+    no eps termination (the reference runs 30 with eps 1e-3,
+    intrinsic_calibration.py:80-81). Accuracy is pinned on outputs by the
+    chessboard tests rather than by parameter equality.
 
     Solves ``sum_w G(p) (p - q) = 0`` with ``G = grad I grad I^T`` over a
     Gaussian-weighted window, iterated ``iters`` times from the integer
@@ -110,7 +117,7 @@ def order_grid(corners: np.ndarray, pattern_size: tuple[int, int],
     n = rows * cols
     if corners.shape[0] < n:
         return None
-    c = corners[:n] if corners.shape[0] == n else corners
+    c = corners
 
     # Nearest-neighbor vectors.
     d = c[:, None, :] - c[None, :, :]

@@ -104,15 +104,52 @@ def solve_pnp_ransac(object_points: jnp.ndarray, image_points: jnp.ndarray,
     # Normalized (undistorted) coordinates for the DLT solves.
     img_norm = cam_mod.undistort_points(cam, img, iters=10, to_pixels=False)
 
+    # COPLANAR world points (markers measured on a flat plate — a standard
+    # calibration rig) make every 6-point DLT rank-deficient: the general
+    # solver returned an all-NaN pose (round-3 review, confirmed by
+    # execution; cv2's ITERATIVE handles planar targets). Route them
+    # through 4-point homography hypotheses + the Zhang homography->pose
+    # decomposition composed with the plane basis instead. Host-side
+    # branch: this function is eager.
+    centroid = obj.mean(axis=0)
+    _, s_sv, vt_sv = jnp.linalg.svd(obj - centroid, full_matrices=False)
+    planar = float(s_sv[2]) < 1e-4 * max(float(s_sv[0]), 1e-12)
+    m_min = 4 if planar else 6
+    if n < m_min:
+        raise ValueError(
+            f"PnP needs at least {m_min} matched world/pixel marker "
+            f"correspondences ({'planar' if planar else 'general'} target), "
+            f"got {n}")
+
     n_hyp = cfg.ransac_iterations
     keys = jax.random.split(key, n_hyp)
-    idx = jax.vmap(lambda k: jax.random.choice(k, n, (6,), replace=False))(keys)
+    idx = jax.vmap(lambda k: jax.random.choice(k, n, (m_min,),
+                                               replace=False))(keys)
 
-    def hypothesis(i):
-        R, t = _dlt_pnp(obj[i], img_norm[i])
-        err = _reproj_error(cam, R, t, obj, img)
-        inl = err < cfg.ransac_reproj_threshold_px
-        return inl.sum(), R, t
+    if planar:
+        from vision_basedsensor_tpu.calibrate.zhang import (
+            _extrinsics_from_homography, fit_homography)
+        basis = vt_sv[:2].T                             # (3, 2) in-plane
+        q = (obj - centroid) @ basis                    # (N, 2) plane coords
+        eye3 = jnp.eye(3, dtype=obj.dtype)
+        b3 = jnp.concatenate([basis, jnp.cross(basis[:, 0],
+                                               basis[:, 1])[:, None]], axis=1)
+
+        def hypothesis(i):
+            H = fit_homography(q[i][None], img_norm[i][None])[0]
+            R_p, t_p = _extrinsics_from_homography(eye3, H)
+            # x_cam = R_wc(C + B q) + T_wc: R_wc = [r1 r2 r3] B^T.
+            R = R_p @ b3.T
+            t = t_p - R @ centroid
+            err = _reproj_error(cam, R, t, obj, img)
+            inl = err < cfg.ransac_reproj_threshold_px
+            return inl.sum(), R, t
+    else:
+        def hypothesis(i):
+            R, t = _dlt_pnp(obj[i], img_norm[i])
+            err = _reproj_error(cam, R, t, obj, img)
+            inl = err < cfg.ransac_reproj_threshold_px
+            return inl.sum(), R, t
 
     scores, Rs, ts = jax.vmap(hypothesis)(idx)
     best = jnp.argmax(scores)
@@ -124,7 +161,7 @@ def solve_pnp_ransac(object_points: jnp.ndarray, image_points: jnp.ndarray,
     err_all = _reproj_error(cam, R, t, obj, img)
     inliers = err_all < cfg.ransac_reproj_threshold_px
     w = inliers.sum() / n
-    achieved = 1.0 - (1.0 - jnp.clip(w, 0.0, 1.0) ** 6) ** n_hyp
+    achieved = 1.0 - (1.0 - jnp.clip(w, 0.0, 1.0) ** m_min) ** n_hyp
     if float(achieved) < cfg.ransac_confidence:  # eager host path; sync is fine
         import warnings
         warnings.warn(

@@ -49,7 +49,13 @@ def _intrinsics_from_homographies(H: jnp.ndarray) -> tuple:
     fx = jnp.sqrt(jnp.abs(lam / b11))
     fy = jnp.sqrt(jnp.abs(lam * b11 / (b11 * b22 - b12 * b12)))
     skew = -b12 * fx * fx * fy / lam
-    cx = skew * cy / fx - b13 * fx * fx / lam
+    # Zhang's PAPER carries a known typo here (gamma*v0/alpha); the correct
+    # identity is u0 = gamma*v0/beta - B13*alpha^2/lambda (divide the skew
+    # term by fy). With noisy homographies the /fx form biases the cx INIT
+    # by skew*cy*(1/fx - 1/fy); the LM refinement usually washes it out,
+    # but a worse start can stall the fixed 30 iterations (round-3 review,
+    # confirmed numerically).
+    cx = skew * cy / fy - b13 * fx * fx / lam
     return fx, fy, cx, cy
 
 
@@ -96,6 +102,15 @@ def calibrate_intrinsics(object_points: jnp.ndarray, image_points: jnp.ndarray,
     object_points = jnp.asarray(object_points, jnp.float64)
     image_points = jnp.asarray(image_points, jnp.float64)
     n_views = object_points.shape[0]
+    # The closed-form init needs >= 3 views for a determined B system
+    # (2V rows vs 6 unknowns; the reference gates identically,
+    # intrinsic_calibration.py:92). With fewer, svd(V)'s last row is NOT a
+    # null vector and the solver returned confidently-wrong intrinsics
+    # with near-zero RMS (round-3 review, confirmed by execution) —
+    # enforce here so every caller is covered, not just the image-dir path.
+    if n_views < 3:
+        raise ValueError(f"Zhang calibration needs >= 3 views, got "
+                         f"{n_views}")
 
     H = fit_homography(object_points[..., :2], image_points)
     fx, fy, cx, cy = _intrinsics_from_homographies(H)
