@@ -368,3 +368,42 @@ def test_malicious_headers_rejected():
     for name, j in [("dht", bytes(dht)), ("sof_tq", sof_tq), ("sos", sos)]:
         with pytest.raises(ValueError, match="JPEG"):
             MjpegBatchDecoder().decode_packed([j])
+
+@pytest.mark.parametrize("workers", [2, 3, 7])
+def test_multithreaded_delta_matches_serial(workers):
+    """The MT packed decode must reproduce the serial stream's SEMANTICS:
+    identical dense coefficients after expansion (filler placement at slice
+    joins may differ), hence bitwise-identical frames. Includes a uniform
+    frame (zero entries — exercises empty-slice bridging) and a
+    high-contrast frame (spill-stream entries)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    jpegs = []
+    for seed in range(9):
+        if seed == 3:
+            img = np.full((120, 160), 128, np.uint8)  # all-zero coefficients
+        elif seed == 5:
+            img = (_textured(120, 160, seed=seed) > 127).astype(np.uint8) * 255
+        else:
+            img = _textured(120, 160, seed=seed)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 70])
+        assert ok
+        jpegs.append(enc.tobytes())
+
+    serial = np.asarray(MjpegBatchDecoder(workers=1).decode_packed(jpegs))
+    mt = np.asarray(MjpegBatchDecoder(workers=workers).decode_packed(jpegs))
+    assert (serial == mt).all()
+
+
+def test_multithreaded_delta_error_protocol():
+    """MT failure protocol matches serial: the index of the first bad frame."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    good = [cv2.imencode(".jpg", _textured(120, 160, seed=s),
+                         [cv2.IMWRITE_JPEG_QUALITY, 70])[1].tobytes()
+            for s in range(6)]
+    bad = good[4][:40]  # truncated mid-header
+    dec = MjpegBatchDecoder(workers=3)
+    dec.decode_packed(good)  # learn geometry
+    with pytest.raises(ValueError, match="frame 4"):
+        dec.decode_packed(good[:4] + [bad] + good[5:])

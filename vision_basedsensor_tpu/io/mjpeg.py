@@ -307,9 +307,7 @@ class MjpegTpuVideoSource:
         stream's; the CLI prints this as the per-frame link cost)."""
         return self.session_stats
 
-    def _decode(self, buf):
-        dev = self._dec.decode_packed(buf)
-        st = self._dec.last_stats
+    def _account(self, st: dict | None) -> None:
         if st:
             if self.session_stats is None:
                 self.session_stats = dict(st)
@@ -318,7 +316,20 @@ class MjpegTpuVideoSource:
                     if key in st:
                         self.session_stats[key] = (self.session_stats.get(key, 0)
                                                    + st[key])
-        return dev
+
+    def _decode(self, buf):
+        return self.to_device(self._entropy(buf))
+
+    def _entropy(self, buf):
+        hp = self._dec.entropy_decode_packed(buf)
+        self._account(hp.stats)
+        return hp
+
+    def to_device(self, payload):
+        """Device half of the split feed (jit dispatch) — MAIN thread only;
+        TPU dispatch from a background thread hangs through the axon relay
+        (capture/server.py documents the same hazard)."""
+        return self._dec.packed_to_device(payload)
 
     def batches(self, batch_size: int):
         reader = _StreamReader(self.url, self._max,
@@ -333,3 +344,20 @@ class MjpegTpuVideoSource:
         self.last_dropped = reader.dropped
         if buf:
             yield self._decode(buf)
+
+    def host_batches(self, batch_size: int):
+        """Host-only half of :meth:`batches` (native entropy decode, no jax
+        dispatch) — what device_feed's prefetch thread drives; it calls
+        :meth:`to_device` on the consumer thread."""
+        reader = _StreamReader(self.url, self._max,
+                               maxlen=max(2 * batch_size, 8))
+        buf = []
+        for jb in reader.frames():
+            buf.append(jb)
+            if len(buf) == batch_size:
+                yield self._entropy(buf)
+                buf = []
+            self.last_dropped = reader.dropped
+        self.last_dropped = reader.dropped
+        if buf:
+            yield self._entropy(buf)

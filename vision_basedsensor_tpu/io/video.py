@@ -257,6 +257,28 @@ class MjpegAviTpuSource(VideoSource):
         if chunks:
             yield dec(chunks)
 
+    def host_batches(self, batch_size: int):
+        """Host-only half of :meth:`batches`: native entropy decode to
+        numpy payloads, NO jax dispatch — safe to drive from device_feed's
+        prefetch thread (TPU dispatch from a background thread hangs
+        through the axon relay). Pair with :meth:`to_device`."""
+        dec = (self._dec.entropy_decode_packed if self._transport == "packed"
+               else self._dec.entropy_decode_dense)
+        chunks = []
+        for c in _iter_avi_video_chunks(self._buf):
+            chunks.append(c)
+            if len(chunks) == batch_size:
+                yield dec(chunks)
+                chunks = []
+        if chunks:
+            yield dec(chunks)
+
+    def to_device(self, payload):
+        """Device half of the split feed — call on the MAIN thread."""
+        if self._transport == "packed":
+            return self._dec.packed_to_device(payload)
+        return self._dec.dense_to_device(payload)
+
 
 class MjpegAviWriter:
     """Mux raw JPEG frames into an MJPG ``.avi`` WITHOUT transcoding.
@@ -368,10 +390,19 @@ def device_feed(source: VideoSource, batch_size: int,
     Decodes batch k+1 on a host thread while batch k is on device — the
     host-side half of the >=1000 fps pipeline (SURVEY.md §7 "hard parts").
     Yields committed device arrays.
+
+    Sources that decode ON the TPU (MjpegAviTpuSource, MjpegTpuVideoSource)
+    expose a split API: ``host_batches`` runs only the native entropy decode
+    (prefetch-thread safe) and ``to_device`` issues the jit dispatch — which
+    MUST happen here on the consumer thread, because TPU dispatch from a
+    background thread hangs forever through the axon relay (the same hazard
+    capture/server.py documents for SyntheticCamera).
     """
     import jax
 
-    it = source.batches(batch_size)
+    to_dev = getattr(source, "to_device", None)
+    it = (source.host_batches(batch_size) if to_dev is not None
+          else source.batches(batch_size))
     lock = threading.Lock()
     state: dict = {}
 
@@ -403,5 +434,6 @@ def device_feed(source: VideoSource, batch_size: int,
             return
         t = threading.Thread(target=prefetch)
         t.start()
-        arr = jax.device_put(batch, device)
+        arr = (to_dev(batch) if to_dev is not None
+               else jax.device_put(batch, device))
         yield arr

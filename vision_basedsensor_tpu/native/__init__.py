@@ -42,7 +42,8 @@ def _build(src: str) -> str | None:
         if not cxx:
             continue
         tmp = out + f".tmp{os.getpid()}"
-        cmd = [cxx, "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", tmp]
+        cmd = [cxx, "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+               src, "-o", tmp]
         try:
             r = subprocess.run(cmd, capture_output=True, timeout=120)
         except Exception:
@@ -92,6 +93,10 @@ def load_jpeg_lib():
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_uint16),
                 ]
+                lib.vbs_mjpeg_batch_y_coeffs_delta_mt.restype = ctypes.c_int
+                lib.vbs_mjpeg_batch_y_coeffs_delta_mt.argtypes = (
+                    lib.vbs_mjpeg_batch_y_coeffs_delta.argtypes
+                    + [ctypes.c_int])
         except Exception as e:  # pragma: no cover
             print(f"[native] jpeg lib unavailable: {e}", file=sys.stderr)
             lib = None

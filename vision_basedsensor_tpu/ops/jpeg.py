@@ -34,11 +34,38 @@ and libjpeg's IMREAD_GRAYSCALE output is exactly the Y channel.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+class HostPacked(NamedTuple):
+    """Host-side result of the PACKED entropy decode — pure numpy, safe to
+    produce on any thread. ``MjpegBatchDecoder.packed_to_device`` turns it
+    into device frames; that dispatch must happen on the MAIN thread (TPU
+    dispatch from a background thread hangs forever through the axon relay
+    — capture/server.py documents the same hazard for SyntheticCamera)."""
+    gaps: np.ndarray
+    vals: np.ndarray
+    sgaps: np.ndarray
+    sdeltas: np.ndarray
+    qtables: np.ndarray
+    height: int
+    width: int
+    grid: tuple[int, int]
+    stats: dict
+
+
+class HostDense(NamedTuple):
+    """Host-side result of the DENSE entropy decode (see HostPacked)."""
+    coeffs: np.ndarray
+    qtables: np.ndarray
+    height: int
+    width: int
+    stats: dict
 
 # Growable-capacity return codes from native/jpeg_coeffs.cpp. Any OTHER
 # nonzero code is a hard parse failure — retrying with bigger buffers would
@@ -157,12 +184,18 @@ class MjpegBatchDecoder:
     built — callers should then use host decode (io/video.MjpegAviSource).
     """
 
-    def __init__(self):
+    def __init__(self, workers: int | None = None):
+        """``workers``: host threads for the packed entropy decode (frames
+        are independent). Default = cpu count; 1 = the serial path. The
+        output is semantically identical either way (same positions/values;
+        filler placement may differ at slice joins)."""
+        import os
         from vision_basedsensor_tpu.native import load_jpeg_lib
         self._lib = load_jpeg_lib()
         if self._lib is None:
             raise RuntimeError("native JPEG decoder unavailable (no C++ "
                                "compiler); use host decode")
+        self._workers = (os.cpu_count() or 1) if workers is None else workers
         self._meta: tuple | None = None  # (w, h, bw, bh)
         self._qtable: np.ndarray | None = None
         self._cap = 0
@@ -255,6 +288,17 @@ class MjpegBatchDecoder:
     def decode(self, jpegs: list[bytes]) -> jnp.ndarray:
         """Decode a batch of same-geometry JPEGs to ``(B, H, W)`` float32
         via the DENSE coefficient transport."""
+        return self.dense_to_device(self.entropy_decode_dense(jpegs))
+
+    def dense_to_device(self, hd: HostDense) -> jnp.ndarray:
+        """Device half of :meth:`decode` — jit dispatch, MAIN thread only."""
+        self.last_stats = hd.stats
+        return idct_frames(jnp.asarray(hd.coeffs), jnp.asarray(hd.qtables),
+                           height=hd.height, width=hd.width)
+
+    def entropy_decode_dense(self, jpegs: list[bytes]) -> HostDense:
+        """Host half of :meth:`decode` — pure numpy + native call, safe on a
+        prefetch thread (no jax dispatch)."""
         import ctypes
         self._ensure_meta(jpegs[0])
         args = self._batch_args(jpegs)
@@ -279,15 +323,29 @@ class MjpegBatchDecoder:
             # capacity) or succeeds with a different returned meta; both
             # re-learn geometry and retry once with correct shapes.
             self._relearn_or_raise(jpegs, got, n)
-        self.last_stats = {"transport": "dense", "frames": n,
-                           "bytes_shipped": coeffs.nbytes + qtables.nbytes}
-        return idct_frames(jnp.asarray(coeffs), jnp.asarray(qtables),
-                           height=h, width=w)
+        stats = {"transport": "dense", "frames": n,
+                 "bytes_shipped": coeffs.nbytes + qtables.nbytes}
+        self.last_stats = stats
+        return HostDense(coeffs, qtables, h, w, stats)
 
     def decode_packed(self, jpegs: list[bytes]) -> jnp.ndarray:
         """Decode a batch to ``(B, H, W)`` float32 via the PACKED
         (delta-encoded sparse) transport — identical output to
         :meth:`decode`, a fraction of the host->device bytes."""
+        return self.packed_to_device(self.entropy_decode_packed(jpegs))
+
+    def packed_to_device(self, hp: HostPacked) -> jnp.ndarray:
+        """Device half of :meth:`decode_packed` — jit dispatch, MAIN thread
+        only (see HostPacked)."""
+        self.last_stats = hp.stats
+        return delta_idct_frames(
+            jnp.asarray(hp.gaps), jnp.asarray(hp.vals), jnp.asarray(hp.sgaps),
+            jnp.asarray(hp.sdeltas), jnp.asarray(hp.qtables),
+            height=hp.height, width=hp.width, grid=hp.grid)
+
+    def entropy_decode_packed(self, jpegs: list[bytes]) -> HostPacked:
+        """Host half of :meth:`decode_packed` — pure numpy + native call,
+        safe on a prefetch thread (no jax dispatch)."""
         import ctypes
         self._ensure_meta(jpegs[0])
         n = len(jpegs)
@@ -326,7 +384,7 @@ class MjpegBatchDecoder:
                 if self._sgaps is None or self._sgaps.size < self._scap:
                     self._sgaps = np.empty(self._scap, np.uint8)
                     self._sdeltas = np.empty(self._scap, np.int16)
-                got = self._lib.vbs_mjpeg_batch_y_coeffs_delta(
+                call_args = (
                     *args,
                     self._gaps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     self._vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
@@ -339,6 +397,11 @@ class MjpegBatchDecoder:
                     counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                     blocks, meta,
                     qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+                if self._workers > 1:
+                    got = self._lib.vbs_mjpeg_batch_y_coeffs_delta_mt(
+                        *call_args, self._workers)
+                else:
+                    got = self._lib.vbs_mjpeg_batch_y_coeffs_delta(*call_args)
                 if got == n:
                     break
                 if got == _RC_VAL_CAP:
@@ -382,12 +445,11 @@ class MjpegBatchDecoder:
         sdeltas = self._sdeltas[:s_b].copy()
         sgaps[s_n:] = 255
         sdeltas[s_n:] = 0
-        self.last_stats = {
+        stats = {
             "transport": "packed", "frames": n, "nnz": e_n,
             "bytes_shipped": 2 * e_b + 3 * s_b + qtables.nbytes,
             "bytes_dense": n * blocks * 128 + qtables.nbytes,
         }
-        return delta_idct_frames(
-            jnp.asarray(gaps), jnp.asarray(vals), jnp.asarray(sgaps),
-            jnp.asarray(sdeltas), jnp.asarray(qtables),
-            height=h, width=w, grid=(bh, bw))
+        self.last_stats = stats
+        return HostPacked(gaps, vals, sgaps, sdeltas, qtables, h, w,
+                          (bh, bw), stats)
