@@ -35,6 +35,7 @@ def test_setup_actually_detects(setup):
     assert int(np.asarray(ref.valid).sum()) >= 60
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(setup):
     cfg, scene, frames, ref = setup
     mesh = make_mesh(jax.devices()[:8])
@@ -150,6 +151,7 @@ def test_data_only_mesh_collectives_are_scan_state_only(setup):
     assert len(ops) <= 24, ops
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util, pathlib
     spec = importlib.util.spec_from_file_location(
@@ -182,6 +184,7 @@ def test_sharded_sequential_association_matches_single_device(setup):
                                np.asarray(base.recon.world), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_undistort_matches_single_device(setup):
     """Review finding (round 2): cfg.undistort_frames was silently ignored
     on the sharded path (detection ran on raw distorted frames). The
@@ -260,6 +263,7 @@ def test_pallas_kernels_survive_spmd_on_tpu():
                                np.asarray(single.recon.world), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_chunked_warmup_uses_global_offset(setup):
     """Review finding (round 3): the sharded carried step masked the first
     warmup_frames of EVERY chunk instead of the whole stream. Two carried
@@ -285,3 +289,74 @@ def test_sharded_chunked_warmup_uses_global_offset(setup):
     np.testing.assert_array_equal(seen, np.asarray(base.recon.seen))
     assert not seen[:2].any() and seen[2:].sum() > 0
     assert step.frames_seen == 8
+
+@pytest.mark.slow
+def test_sharded_packed_ingest_matches_single_device(setup):
+    """ShardedPackedFeed: per-shard packed coefficient transport + shard_map
+    expand must reproduce the single-device decode bitwise, carry the mesh's
+    frame sharding, and feed the sharded pipeline end to end."""
+    cv2 = pytest.importorskip("cv2")
+    from vision_basedsensor_tpu.native import load_jpeg_lib
+    if load_jpeg_lib() is None:
+        pytest.skip("no C++ compiler for the native JPEG decoder")
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    from vision_basedsensor_tpu.parallel import ShardedPackedFeed
+
+    cfg, scene, frames, ref = setup
+    jpegs = [cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 70])[1]
+             .tobytes() for f in np.asarray(frames).astype(np.uint8)]
+
+    mesh = make_mesh(jax.devices()[:8])
+    feed = ShardedPackedFeed(mesh)
+    sharded = feed.decode_packed(jpegs)
+    single = MjpegBatchDecoder().decode_packed(jpegs)
+    assert sharded.shape == single.shape
+    # The sharded expand runs the same cumsum/scatter/IDCT math per shard.
+    assert (np.asarray(sharded) == np.asarray(single)).all()
+    # The output must actually be sharded over the data axis.
+    assert len(sharded.sharding.device_set) == 8
+
+    # And it must drive the sharded pipeline without resharding the batch.
+    step = make_sharded_pipeline(mesh, scene.cam, cfg)
+    ref_j = initialize(sharded[0], cfg)
+    out = step(sharded, jax.device_put(ref_j))
+    base = process_frames(single, ref_j, scene.cam, cfg)
+    np.testing.assert_allclose(np.asarray(out.recon.world),
+                               np.asarray(base.recon.world), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_packed_ingest_2d_mesh(setup):
+    """On a (data, spatial) mesh the ingest output rows reshard onto the
+    spatial axis so the pipeline's frame spec is satisfied."""
+    cv2 = pytest.importorskip("cv2")
+    from vision_basedsensor_tpu.native import load_jpeg_lib
+    if load_jpeg_lib() is None:
+        pytest.skip("no C++ compiler for the native JPEG decoder")
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    from vision_basedsensor_tpu.parallel import ShardedPackedFeed
+
+    cfg, scene, frames, ref = setup
+    jpegs = [cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 70])[1]
+             .tobytes() for f in np.asarray(frames).astype(np.uint8)]
+    mesh = make_mesh(jax.devices()[:8], spatial=2)
+    sharded = ShardedPackedFeed(mesh).decode_packed(jpegs)
+    single = MjpegBatchDecoder().decode_packed(jpegs)
+    assert (np.asarray(sharded) == np.asarray(single)).all()
+
+    step = make_sharded_pipeline(mesh, scene.cam, cfg)
+    ref_j = initialize(sharded[0], cfg)
+    out = step(sharded, jax.device_put(ref_j))
+    base = process_frames(single, ref_j, scene.cam, cfg)
+    np.testing.assert_allclose(np.asarray(out.recon.world),
+                               np.asarray(base.recon.world), atol=1e-4)
+
+
+def test_sharded_packed_ingest_rejects_ragged_batch():
+    from vision_basedsensor_tpu.native import load_jpeg_lib
+    if load_jpeg_lib() is None:
+        pytest.skip("no C++ compiler for the native JPEG decoder")
+    from vision_basedsensor_tpu.parallel import ShardedPackedFeed
+    feed = ShardedPackedFeed(make_mesh(jax.devices()[:8]))
+    with pytest.raises(ValueError, match="divide"):
+        feed.decode_packed([b"\xff\xd8"] * 5)

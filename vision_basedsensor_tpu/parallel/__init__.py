@@ -1,3 +1,4 @@
+from vision_basedsensor_tpu.parallel.ingest import ShardedPackedFeed
 from vision_basedsensor_tpu.parallel.mesh import (
     collective_ops_in_hlo,
     make_mesh,
@@ -6,5 +7,6 @@ from vision_basedsensor_tpu.parallel.mesh import (
     shard_frames,
 )
 
-__all__ = ["collective_ops_in_hlo", "make_mesh", "make_sharded_pipeline",
-           "pallas_custom_calls_in_hlo", "shard_frames"]
+__all__ = ["ShardedPackedFeed", "collective_ops_in_hlo", "make_mesh",
+           "make_sharded_pipeline", "pallas_custom_calls_in_hlo",
+           "shard_frames"]

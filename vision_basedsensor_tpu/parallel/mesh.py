@@ -259,15 +259,19 @@ def make_sharded_pipeline(mesh: Mesh, cam: CameraModel, cfg: PipelineConfig,
             step_cache[shape] = _make_step(*_prep_for(shape))
         return step_cache[shape]
 
-    def step(frames, *rest):
+    def step(frames, *rest, n_frames: int | None = None):
         off = jnp.int32(step.frames_seen if with_carry else 0)
         out = _jitted_for(frames)(frames, *rest, off)
         if with_carry:
-            # Auto-count; zero-pad tail frames in a final short chunk
-            # inflate the counter only AFTER the last real frame, where no
-            # later chunk can be affected. Callers resuming a checkpoint
-            # set step.frames_seen from the session (io/session.py).
-            step.frames_seen += int(frames.shape[0])
+            # Auto-count for the warmup offset. ``shard_frames`` zero-pads
+            # ragged chunks, and counting those pad frames mid-session would
+            # permanently inflate the offset for every later chunk — callers
+            # feeding a padded chunk pass the TRUE frame count via
+            # ``n_frames`` (pads in a *final* chunk are harmless either
+            # way). Callers resuming a checkpoint set step.frames_seen from
+            # the session (io/session.py).
+            step.frames_seen += int(frames.shape[0] if n_frames is None
+                                    else n_frames)
         return out
 
     step.frames_seen = 0
