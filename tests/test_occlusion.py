@@ -87,6 +87,7 @@ def test_unoccluded_markers_unaffected(occluded_scene):
                                   np.asarray(det_off.axes))
 
 
+@pytest.mark.slow
 def test_occluded_markers_survive_reconstruction(occluded_scene):
     """End-to-end: the completed circle passes the max_axis_ratio depth
     gate, so the marker contributes a world position for the frame — with

@@ -514,7 +514,12 @@ def complete_occluded(fin: Finalized, min_ratio: float, max_ratio: float,
     # lam_v in axis units: major = 4 sqrt(lam_v) * scale.
     sqrt_lv_meas = major / 4.0
     r_est = sqrt_lv_meas / _horner(c_sqlv, x)
-    shift = _horner(c_shift, x) * r_est
+    # The center shift acts on photo_center, which is in RAW pixels, while
+    # r_est carries the axis_scale calibration factor baked into photo_axes
+    # — divide it out so the displacement is in pixel units (d_est below
+    # keeps the scaled units to stay commensurate with photo_axes).
+    r_px = r_est / jnp.maximum(fin.axis_scale, 1e-6)
+    shift = _horner(c_shift, x) * r_px
     center = fin.photo_center - fin.minor_dir * shift[..., None]
     d_est = 2.0 * r_est
     axes = jnp.stack([d_est, d_est], -1)

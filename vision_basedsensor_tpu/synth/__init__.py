@@ -1,3 +1,10 @@
+from vision_basedsensor_tpu.synth.degrade import (
+    defocus,
+    illumination_gradient,
+    motion_blur,
+    sensor_noise,
+    vignette,
+)
 from vision_basedsensor_tpu.synth.render import (
     DomeScene,
     default_scene,
@@ -10,4 +17,6 @@ from vision_basedsensor_tpu.synth.render import (
 
 __all__ = ["DomeScene", "default_scene", "render_frames",
            "indentation_staircase", "membrane_indentation_field",
-           "probe_indentation_field", "tilt_deviation_field"]
+           "probe_indentation_field", "tilt_deviation_field",
+           "defocus", "illumination_gradient", "motion_blur",
+           "sensor_noise", "vignette"]
