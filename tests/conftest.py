@@ -17,7 +17,10 @@ if not _USE_TPU:
     # so env vars alone can be too late; set both env and live jax config.
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+if not _USE_TPU:
+    # x64 aids the CPU parity oracles; the real TPU has no float64, so the
+    # opt-in tpu_only mode must run without it (as production does).
+    os.environ.setdefault("JAX_ENABLE_X64", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if not _USE_TPU and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -32,6 +35,18 @@ if not _USE_TPU:
     jax.config.update("jax_enable_x64", True)
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
+
+# Persistent compilation cache: the suite's wall time is dominated by CPU
+# jit compiles (the 1-core host recompiles every test's programs each run).
+# Caching makes REPEAT runs — the developer inner loop — several times
+# faster; the cache dir is gitignored alongside the TPU one.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax without the knobs
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

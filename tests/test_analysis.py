@@ -37,6 +37,7 @@ def test_analytic_tilt_recovery():
     np.testing.assert_allclose(float(res.tilt_deg), 15.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_end_to_end_tilt_recovery():
     """Full pipeline on rendered vertical + tilted compression sequences:
     recovered pose misalignment within 0.5 deg of the applied 15 deg
@@ -67,6 +68,7 @@ def test_end_to_end_tilt_recovery():
 
 @pytest.mark.parametrize("tilt_deg,axis", [(3.0, "y"), (8.0, "x"),
                                            (20.0, "y")])
+@pytest.mark.slow
 def test_tilt_recovery_sweep(tilt_deg, axis):
     """Tilt recovery across the pose range and both tilt axes — the pose
     compensation use case cares most about SMALL misalignments, while the
@@ -93,6 +95,7 @@ def test_tilt_recovery_sweep(tilt_deg, axis):
         (tilt_deg, axis, float(res.tilt_deg))
 
 
+@pytest.mark.slow
 def test_tilt_recovery_under_noise_and_distortion():
     """Tilt recovery under joint sensor noise + lens distortion (ROADMAP
     accuracy item): frames rendered THROUGH a Brown-Conrady lens with

@@ -82,6 +82,7 @@ def test_zhang_matches_cv2_with_noise():
     assert abs(float(res.mean_reproj_error) - ret) < 0.05
 
 
+@pytest.mark.slow
 def test_zhang_without_global_x64():
     """Production entry points (CLI) don't run under the test conftest's
     global x64 config; calibrate_intrinsics must opt into f64 itself
@@ -97,6 +98,7 @@ def test_zhang_without_global_x64():
     assert err < 1e-3
 
 
+@pytest.mark.slow
 def test_pnp_without_global_x64(rng):
     K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1]])
     cam = CameraModel.create(600.0, 600.0, 320.0, 240.0, dtype=jnp.float64)
@@ -143,6 +145,7 @@ def test_zhang_nearly_coplanar_views_stays_bounded():
     assert float(res.mean_reproj_error) < 0.5
 
 
+@pytest.mark.slow
 def test_pnp_ransac_with_outliers(rng):
     K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1]])
     dist = np.array([-0.1, 0.03, 0.0005, -0.0002, 0.0])
@@ -168,6 +171,7 @@ def test_pnp_ransac_with_outliers(rng):
     assert not np.asarray(res.inliers)[out_idx].any()
 
 
+@pytest.mark.slow
 def test_pnp_outlier_rate_sweep_vs_cv2(rng):
     """Quantify the vectorized RANSAC against cv2.solvePnPRansac across
     outlier rates up to 40% (VERDICT round 1, weak 6: the single-rate test

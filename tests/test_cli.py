@@ -7,6 +7,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end; core suite = -m 'not slow'
+
 import jax.numpy as jnp
 
 from vision_basedsensor_tpu.cli.main import main

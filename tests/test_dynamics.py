@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end; core suite = -m 'not slow'
+
 import jax.numpy as jnp
 
 from vision_basedsensor_tpu.analysis.dynamics import contact_signal, moving_average

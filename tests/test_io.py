@@ -91,6 +91,7 @@ def test_device_feed_yields_all_frames():
     np.testing.assert_array_equal(np.concatenate(got), frames)
 
 
+@pytest.mark.slow
 def test_avi_roundtrip_real_video_ingestion(tmp_path):
     """Close the loop on the reference's actual input format
     (marker_detection.py:52): VideoWriter -> .avi on disk -> decode -> the

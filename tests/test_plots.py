@@ -4,6 +4,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end; core suite = -m 'not slow'
+
 import jax.numpy as jnp
 
 pytest.importorskip("matplotlib")

@@ -21,8 +21,9 @@ from vision_basedsensor_tpu.track import assign_identities
 
 RAW = "/root/reference/img/raw_markers.png"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(RAW),
-                                reason="reference image not mounted")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.exists(RAW),
+                                 reason="reference image not mounted")]
 
 
 @pytest.fixture(scope="module")

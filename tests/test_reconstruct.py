@@ -51,6 +51,7 @@ def test_displacement_scan_semantics():
     np.testing.assert_allclose(np.asarray(r.from_first_norm)[:, 0], [0, 1, 0, 3, 4], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_indentation_staircase_recovered():
     """End-to-end replication of the probe-indentation experiment
     (README.md:103-121): 12 prescribed 0.7 mm steps; the reference reports

@@ -72,6 +72,7 @@ def _occluded_frames(level_fn):
     return scene, jnp.asarray(frames)
 
 
+@pytest.mark.slow
 def test_partial_occlusion_gated_by_axis_ratio():
     """A marker HALF-covered by bright debris leaves a half-disk whose
     moment ellipse passes every reference gate (fitEllipse on the clipped
@@ -106,6 +107,7 @@ def test_partial_occlusion_gated_by_axis_ratio():
         "without completion the axis-ratio gate must drop the half-disk"
 
 
+@pytest.mark.slow
 def test_blob_merge_gated_by_step_displacement():
     """DARK debris touching a marker merges into one blob (the reference's
     contour labeling merges identically — SURVEY §2.2; its only defense is
@@ -145,6 +147,7 @@ def test_sensor_noise_tolerance(rng):
     assert np.percentile(errs, 90) < 0.7
 
 
+@pytest.mark.slow
 def test_high_res_profile_end_to_end():
     """960x1280 frames select the >480-row profile (marker_detection.py:117)
     and the full pipeline still finds and reconstructs the dome."""

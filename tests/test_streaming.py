@@ -3,6 +3,8 @@ live MJPEG loop against the in-process capture server."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end; core suite = -m 'not slow'
+
 import jax.numpy as jnp
 
 from vision_basedsensor_tpu.config import (

@@ -19,6 +19,8 @@ Scope notes (documented oracle defects, see docs/PARITY.md):
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end; core suite = -m 'not slow'
+
 import jax.numpy as jnp
 
 from vision_basedsensor_tpu.config import DetectConfig, PipelineConfig

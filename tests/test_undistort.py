@@ -72,6 +72,7 @@ def test_remap_batched():
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(one), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pipeline_undistort_parity_with_cv2_flow():
     """cfg.undistort_frames must reproduce the reference's preprocess
     (marker_detection.py:88-109): run the pipeline (a) on raw distorted
@@ -143,6 +144,7 @@ def _render_board_through_camera(K, rvec, tvec, square_mm, n, h, w, ss=3):
     return img.reshape(h, ss, w, ss).mean((1, 3)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_calibrate_from_images_end_to_end(rng):
     """Rendered posed chessboards -> detector -> Zhang: recover intrinsics."""
     K = np.array([[420.0, 0.0, 200.0], [0.0, 410.0, 150.0], [0.0, 0.0, 1.0]])
