@@ -147,20 +147,25 @@ def bench_decode_fed(n_frames: int, batch: int) -> dict | None:
                 vw.write(f)
         vw.close()
 
-        # Three ingest backends; report the best sustained number.
+        # Four ingest backends; report the best sustained number.
         # - host_libjpeg: parallel cv2.imdecode -> raw gray frames to device
         #   (wins on multi-core hosts; frame bytes ride the host->TPU link).
-        # - tpu_idct_packed: native C++ entropy decode -> SPARSE packed
-        #   coefficients to device (~25-70 KB/frame) -> prefix-sum expand +
-        #   MXU dequant+IDCT. The host does only the serial Huffman work AND
-        #   the link carries a fraction of the JPEG-scale bytes — built to
-        #   beat both walls of the 1-core/thin-tunnel driver host.
-        # - tpu_idct: same split with the DENSE coefficient tensor
-        #   (614 KB/frame at 480p; kept as the transport ablation).
+        # - tpu_idct_split: native C++ entropy decode -> DC/AC-separated
+        #   byte streams (~24 KB/frame at 480p q70, the fewest link bytes)
+        #   -> per-frame DC cumsum + sorted AC scatter + MXU dequant+IDCT.
+        #   The host does only the serial Huffman work AND the link carries
+        #   JPEG-scale bytes — built to beat both walls of the
+        #   1-core/thin-tunnel driver host.
+        # - tpu_idct_packed: the 2-byte (gap, value) delta-pair transport
+        #   (~40-51 KB/frame; kept as the sparse-format ablation).
+        # - tpu_idct: the DENSE coefficient tensor (614 KB/frame at 480p;
+        #   kept as the transport ablation).
         def sources():
             yield "host_libjpeg", lambda: MjpegAviSource(path, gray=True)
             try:
                 MjpegAviTpuSource(path)
+                yield ("tpu_idct_split",
+                       lambda: MjpegAviTpuSource(path, transport="split"))
                 yield ("tpu_idct_packed",
                        lambda: MjpegAviTpuSource(path, transport="packed"))
                 yield ("tpu_idct",

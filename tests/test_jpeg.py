@@ -194,7 +194,7 @@ def test_geometry_change_between_batches_reprobes():
         encs[s] = enc.tobytes()
         refs[s] = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE).astype(np.float32)
 
-    for method in ("decode", "decode_packed"):
+    for method in ("decode", "decode_packed", "decode_split"):
         dec = MjpegBatchDecoder()
         for s in [(64, 96), (32, 48), (128, 160), (64, 96)]:
             out = np.asarray(getattr(dec, method)([encs[s]]))[0]
@@ -407,3 +407,68 @@ def test_multithreaded_delta_error_protocol():
     dec.decode_packed(good)  # learn geometry
     with pytest.raises(ValueError, match="frame 4"):
         dec.decode_packed(good[:4] + [bad] + good[5:])
+
+
+@pytest.mark.parametrize("quality", [20, 70, 95])
+@pytest.mark.parametrize("shape", [(480, 640), (41, 67)])
+def test_split_transport_matches_dense(quality, shape):
+    """The SPLIT (DC/AC separated) transport must reproduce the dense path
+    BITWISE — same coefficients in, same IDCT math — including frames with
+    no ACs at all (uniform: pure escape/DC traffic), hard edges (AC values
+    past the 5-bit clamp -> spill stream), and big DC jumps (DC deltas past
+    int8 -> DC spill stream)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    imgs = [_textured(*shape, seed=s) for s in range(3)]
+    imgs.append(np.full(shape, 128, np.uint8))                 # no ACs
+    imgs.append((_textured(*shape, seed=7) > 127).astype(np.uint8) * 255)
+    checker = np.zeros(shape, np.uint8)                        # DC spills
+    checker[::16] = 255
+    checker[:, ::16] = 250
+    imgs.append(checker)
+    jpegs = []
+    for img in imgs:
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY,
+                                             quality])
+        assert ok
+        jpegs.append(enc.tobytes())
+    dec = MjpegBatchDecoder()
+    dense = np.asarray(dec.decode(jpegs))
+    split = np.asarray(dec.decode_split(jpegs))
+    assert (dense == split).all()
+    stats = dec.last_stats
+    assert stats["transport"] == "split"
+    # The split format must beat the 2-byte delta pairs at stream-typical
+    # qualities (the whole point: ~1 byte/AC + 1 byte/block).
+    if quality <= 70 and shape == (480, 640):
+        packed = dec.entropy_decode_packed(jpegs).stats
+        assert stats["bytes_shipped"] < packed["bytes_shipped"]
+
+
+def test_split_capacity_growth():
+    """Undersized split streams must grow on their specific capacity rcs
+    (AC bytes, AC spill, DC spill) and converge — not loop or misdecode."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    img = _textured(64, 96, seed=9)
+    img[::8] = 255  # DC jumps at every block row -> DC spill traffic
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    dec = MjpegBatchDecoder()
+    ref = np.asarray(dec.decode([enc.tobytes()]))
+    dec._accap, dec._ascap, dec._dscap = 8, 8, 8
+    out = np.asarray(dec.decode_split([enc.tobytes()]))
+    assert (out == ref).all()
+
+
+def test_split_error_protocol():
+    """Split failure protocol matches the others: the index of the first
+    bad frame, no growth retries on malformed bytes."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    good = [cv2.imencode(".jpg", _textured(120, 160, seed=s),
+                         [cv2.IMWRITE_JPEG_QUALITY, 70])[1].tobytes()
+            for s in range(4)]
+    dec = MjpegBatchDecoder()
+    dec.decode_split(good)  # learn geometry
+    with pytest.raises(ValueError, match="frame 2"):
+        dec.decode_split(good[:2] + [good[3][:40]] + good[3:])

@@ -675,7 +675,7 @@ def cmd_run_live(args):
             print(f"note: {src.last_dropped} stream frame(s) skipped to "
                   "stay current (pipeline slower than stream)", flush=True)
         st = getattr(src, "last_stats", None)
-        if st and st.get("transport") == "packed":
+        if st and st.get("transport") in ("split", "packed"):
             per = st["bytes_shipped"] / max(1, st["frames"])
             dense = st["bytes_dense"] / max(1, st["frames"])
             print(f"tpu-decode transport: {per / 1024:.1f} KB/frame over "

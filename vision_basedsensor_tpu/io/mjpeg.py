@@ -287,12 +287,17 @@ class MjpegTpuVideoSource:
     """
 
     def __init__(self, url: str, fps: float = 12.0,
-                 max_frames: int | None = None):
+                 max_frames: int | None = None, transport: str = "split"):
+        """``transport``: ``split`` (default, fewest link bytes) or
+        ``packed`` — see :class:`~...ops.jpeg.MjpegBatchDecoder`."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+        if transport not in ("split", "packed"):
+            raise ValueError(f"transport must be split|packed, got {transport}")
         self.url = url
         self._fps = fps
         self._max = max_frames
         self._dec = MjpegBatchDecoder()
+        self._transport = transport
         self.last_dropped = 0
         self.session_stats: dict | None = None
 
@@ -321,15 +326,17 @@ class MjpegTpuVideoSource:
         return self.to_device(self._entropy(buf))
 
     def _entropy(self, buf):
-        hp = self._dec.entropy_decode_packed(buf)
+        hp = (self._dec.entropy_decode_split if self._transport == "split"
+              else self._dec.entropy_decode_packed)(buf)
         self._account(hp.stats)
         return hp
 
     def to_device(self, payload):
-        """Device half of the split feed (jit dispatch) — MAIN thread only;
-        TPU dispatch from a background thread hangs through the axon relay
-        (capture/server.py documents the same hazard)."""
-        return self._dec.packed_to_device(payload)
+        """Device half of the two-thread feed (jit dispatch) — MAIN thread
+        only; TPU dispatch from a background thread hangs through the axon
+        relay (capture/server.py documents the same hazard)."""
+        return (self._dec.split_to_device if self._transport == "split"
+                else self._dec.packed_to_device)(payload)
 
     def batches(self, batch_size: int):
         reader = _StreamReader(self.url, self._max,

@@ -223,10 +223,15 @@ class MjpegAviTpuSource(VideoSource):
     """
 
     def __init__(self, path: str, fps: float = 12.0,
-                 transport: str = "packed"):
+                 transport: str = "split"):
+        """``transport``: ``split`` (default — DC/AC-separated streams,
+        fewest link bytes, ~24 KB/frame at 480p q70), ``packed`` (2-byte
+        delta pairs), or ``dense`` (full coefficient tensor, the
+        ablation)."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
-        if transport not in ("packed", "dense"):
-            raise ValueError(f"transport must be packed|dense, got {transport}")
+        if transport not in ("split", "packed", "dense"):
+            raise ValueError(
+                f"transport must be split|packed|dense, got {transport}")
         with open(path, "rb") as f:
             self._buf = f.read()
         first = next(_iter_avi_video_chunks(self._buf), None)
@@ -246,8 +251,9 @@ class MjpegAviTpuSource(VideoSource):
         return self._dec.last_stats
 
     def batches(self, batch_size: int):
-        dec = (self._dec.decode_packed if self._transport == "packed"
-               else self._dec.decode)
+        dec = {"split": self._dec.decode_split,
+               "packed": self._dec.decode_packed,
+               "dense": self._dec.decode}[self._transport]
         chunks = []
         for c in _iter_avi_video_chunks(self._buf):
             chunks.append(c)
@@ -262,8 +268,9 @@ class MjpegAviTpuSource(VideoSource):
         numpy payloads, NO jax dispatch — safe to drive from device_feed's
         prefetch thread (TPU dispatch from a background thread hangs
         through the axon relay). Pair with :meth:`to_device`."""
-        dec = (self._dec.entropy_decode_packed if self._transport == "packed"
-               else self._dec.entropy_decode_dense)
+        dec = {"split": self._dec.entropy_decode_split,
+               "packed": self._dec.entropy_decode_packed,
+               "dense": self._dec.entropy_decode_dense}[self._transport]
         chunks = []
         for c in _iter_avi_video_chunks(self._buf):
             chunks.append(c)
@@ -274,10 +281,10 @@ class MjpegAviTpuSource(VideoSource):
             yield dec(chunks)
 
     def to_device(self, payload):
-        """Device half of the split feed — call on the MAIN thread."""
-        if self._transport == "packed":
-            return self._dec.packed_to_device(payload)
-        return self._dec.dense_to_device(payload)
+        """Device half of the two-thread feed — call on the MAIN thread."""
+        return {"split": self._dec.split_to_device,
+                "packed": self._dec.packed_to_device,
+                "dense": self._dec.dense_to_device}[self._transport](payload)
 
 
 class MjpegAviWriter:

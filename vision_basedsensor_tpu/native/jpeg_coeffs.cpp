@@ -254,6 +254,9 @@ enum {
   kErrCapacity = -11,   // dense: block capacity exceeded (growable)
   kErrValCap = -100,    // delta: entry stream capacity exceeded (growable)
   kErrSpillCap = -102,  // delta: spill stream capacity exceeded (growable)
+  kErrAcCap = -104,     // split: AC byte stream capacity exceeded (growable)
+  kErrAcSpillCap = -105,  // split: AC spill capacity exceeded (growable)
+  kErrDcSpillCap = -106,  // split: DC spill capacity exceeded (growable)
 };
 
 // Emit a decoded Y block into the DENSE layout. `out` must be pre-zeroed;
@@ -363,6 +366,107 @@ struct DeltaVecSink {
         }
         sgaps.push_back(static_cast<uint8_t>(sgap));
         sdeltas.push_back(static_cast<int16_t>(v - c));
+        sprev = pos;
+      }
+    }
+    return 0;
+  }
+};
+
+// Emit into the SPLIT layout: DC and AC coefficients ride separate streams
+// sized to their statistics (~25% of nonzeros are block DCs with large
+// values and no gap information; ACs have small gaps and small values).
+//
+// * DC: ONE int8 per block, dense — the delta vs the previous block's
+//   absolute quantized DC (first block of each frame deltas from 0, so the
+//   device reconstructs with one per-frame cumsum). |delta| > 127 spills
+//   the remainder to a (gap uint8 over block indices, int16) side stream.
+// * AC: ONE byte per entry in the 63-slot-per-block AC position space
+//   (pos = block*63 + k-1). Low 3 bits: gap-1 (gap 1..8). High 5 bits:
+//   the value, signed 5-bit two's complement in [-15, 15] — the code -16
+//   (byte & 0x80 with value bits 10000) is an ESCAPE advancing
+//   (low3+1)*63 positions (1..8 whole empty blocks) and emitting nothing.
+//   Gaps 9..63 bridge with zero-value gap-8 fillers. |v| > 15 clamps and
+//   spills the remainder to a (gap uint8 over AC positions, int16) stream.
+//
+// ~1 byte/AC + 1 byte/block beats the 2-byte delta pairs by ~40% on real
+// q70 streams (measured 40 -> 24.5 KB/frame at 480p) — the transport is
+// for host->TPU links where bytes are the wall (benchmarks/README.md).
+struct SplitSink {
+  uint8_t* ac;
+  int64_t ac_cap, ac_n = 0;
+  int8_t* dc;      // exactly n * blocks_per_frame, cursor dc_n
+  int64_t dc_n = 0;
+  uint8_t* sgaps;  // AC spill
+  int16_t* sdeltas;
+  int64_t scap, sn = 0;
+  uint8_t* dgaps;  // DC spill
+  int16_t* ddeltas;
+  int64_t dcap, dn = 0;
+  int64_t prev_ac = -1, sprev = -1, dprev = -1;
+  int32_t pred_dc = 0;           // previous block's absolute DC (per frame)
+  int64_t frame_block_base = 0;  // frame_index * blocks_per_frame
+
+  inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
+    const int64_t gblock = frame_block_base + block;
+    const int32_t dcv = (mask & 1) ? scratch[0] : 0;
+    const int32_t d = dcv - pred_dc;
+    pred_dc = dcv;
+    const int32_t c = d > 127 ? 127 : (d < -127 ? -127 : d);
+    dc[dc_n++] = static_cast<int8_t>(c);
+    if (d != c) {
+      int64_t g = gblock - dprev;
+      while (g > 255) {
+        if (dn >= dcap) return kErrDcSpillCap;
+        dgaps[dn] = 255;
+        ddeltas[dn] = 0;
+        ++dn;
+        g -= 255;
+      }
+      if (dn >= dcap) return kErrDcSpillCap;
+      dgaps[dn] = static_cast<uint8_t>(g);
+      ddeltas[dn] = static_cast<int16_t>(d - c);
+      ++dn;
+      dprev = gblock;
+    }
+    uint64_t m = mask & ~1ull;
+    const int64_t base = gblock * 63 - 1;  // pos = base + j for slot j >= 1
+    while (m) {
+      const int j = __builtin_ctzll(m);
+      m &= m - 1;
+      const int64_t pos = base + j;
+      int64_t gap = pos - prev_ac;  // >= 1: positions strictly increase
+      while (gap - 1 >= 63) {       // whole empty blocks -> escape bytes
+        int64_t k = (gap - 1) / 63;
+        if (k > 8) k = 8;
+        if (ac_n >= ac_cap) return kErrAcCap;
+        ac[ac_n++] = static_cast<uint8_t>((k - 1) | 0x80);
+        gap -= k * 63;
+      }
+      while (gap > 8) {  // remaining 9..63 -> zero-value gap-8 fillers
+        if (ac_n >= ac_cap) return kErrAcCap;
+        ac[ac_n++] = 7;  // gap 8, value 0
+        gap -= 8;
+      }
+      const int16_t v = scratch[j];
+      const int16_t cv = v > 15 ? 15 : (v < -15 ? -15 : v);
+      if (ac_n >= ac_cap) return kErrAcCap;
+      ac[ac_n++] =
+          static_cast<uint8_t>((gap - 1) | ((static_cast<int>(cv) & 31) << 3));
+      prev_ac = pos;
+      if (v != cv) {
+        int64_t sg = pos - sprev;
+        while (sg > 255) {
+          if (sn >= scap) return kErrAcSpillCap;
+          sgaps[sn] = 255;
+          sdeltas[sn] = 0;
+          ++sn;
+          sg -= 255;
+        }
+        if (sn >= scap) return kErrAcSpillCap;
+        sgaps[sn] = static_cast<uint8_t>(sg);
+        sdeltas[sn] = static_cast<int16_t>(v - cv);
+        ++sn;
         sprev = pos;
       }
     }
@@ -830,6 +934,52 @@ int vbs_mjpeg_batch_y_coeffs_delta_mt(
   }
   out_counts[0] = nmain;
   out_counts[1] = nspill;
+  return n;
+}
+
+// SPLIT batch variant: DC/AC-separated transport (see SplitSink) — the
+// lowest-byte lossless format for link-bound host->TPU ingest.
+//
+//   out_ac      : uint8[ac_cap] AC entry bytes (gap-1 | value<<3, escapes)
+//   out_dc      : int8[n * blocks_per_frame] per-block DC deltas (dense)
+//   out_sgaps/out_sdeltas : AC spill stream (gaps over AC positions)
+//   out_dgaps/out_ddeltas : DC spill stream (gaps over block indices)
+//   out_counts  : int64[3] = {ac bytes, AC spills, DC spills}
+//
+// Returns n on success; a frame index 0 <= i < n at the first parse error
+// or geometry mismatch; kErrAcCap/kErrAcSpillCap/kErrDcSpillCap
+// (-104/-105/-106) when a stream capacity is exceeded (retry larger).
+// Multithreaded slicing (see the _delta_mt stitcher) ports directly if a
+// multi-core host ever bottlenecks here; the 1-core driver host doesn't.
+int vbs_mjpeg_batch_y_coeffs_split(
+    const uint8_t* data, const int64_t* offsets, const int32_t* sizes, int n,
+    uint8_t* out_ac, int64_t ac_cap, int8_t* out_dc, uint8_t* out_sgaps,
+    int16_t* out_sdeltas, int64_t scap, uint8_t* out_dgaps,
+    int16_t* out_ddeltas, int64_t dcap, int64_t* out_counts,
+    int blocks_per_frame, int* out_meta, uint16_t* out_qtable) {
+  int meta[4];
+  SplitSink sink{out_ac,    ac_cap,      0, out_dc,   0,
+                 out_sgaps, out_sdeltas, scap, 0,     out_dgaps,
+                 out_ddeltas, dcap,      0};
+  std::vector<int16_t> stage;
+  std::vector<uint64_t> stage_mask;
+  for (int i = 0; i < n; ++i) {
+    sink.frame_block_base = static_cast<int64_t>(i) * blocks_per_frame;
+    sink.pred_dc = 0;  // JPEG resets DC prediction per scan = per frame
+    const int rc = decode_y(data + offsets[i], sizes[i], sink,
+                            blocks_per_frame, i == 0 ? out_meta : meta,
+                            out_qtable + static_cast<size_t>(i) * 64, &stage,
+                            &stage_mask);
+    if (rc == kErrAcCap || rc == kErrAcSpillCap || rc == kErrDcSpillCap)
+      return rc;
+    if (rc != 0) return i;
+    if (i > 0 && (meta[0] != out_meta[0] || meta[1] != out_meta[1] ||
+                  meta[2] != out_meta[2] || meta[3] != out_meta[3]))
+      return i;
+  }
+  out_counts[0] = sink.ac_n;
+  out_counts[1] = sink.sn;
+  out_counts[2] = sink.dn;
   return n;
 }
 

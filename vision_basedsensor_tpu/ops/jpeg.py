@@ -67,12 +67,32 @@ class HostDense(NamedTuple):
     width: int
     stats: dict
 
+
+class HostSplit(NamedTuple):
+    """Host-side result of the SPLIT entropy decode (see HostPacked): DC
+    deltas ride a dense int8 per-block stream, ACs a 1-byte (3-bit gap,
+    5-bit value) stream — ~40% fewer link bytes than HostPacked."""
+    ac: np.ndarray
+    dc: np.ndarray
+    sgaps: np.ndarray
+    sdeltas: np.ndarray
+    dgaps: np.ndarray
+    ddeltas: np.ndarray
+    qtables: np.ndarray
+    height: int
+    width: int
+    grid: tuple[int, int]
+    stats: dict
+
 # Growable-capacity return codes from native/jpeg_coeffs.cpp. Any OTHER
 # nonzero code is a hard parse failure — retrying with bigger buffers would
 # just re-parse a malformed JPEG with progressively larger allocations.
 _RC_BLOCK_CAP = -11
 _RC_VAL_CAP = -100
 _RC_SPILL_CAP = -102
+_RC_AC_CAP = -104
+_RC_AC_SPILL_CAP = -105
+_RC_DC_SPILL_CAP = -106
 
 
 def _idct8_basis() -> np.ndarray:
@@ -84,19 +104,39 @@ def _idct8_basis() -> np.ndarray:
     return A.astype(np.float32)
 
 
+@functools.cache
+def _idct64_basis() -> np.ndarray:
+    """Flat 2D-IDCT map: ``M[(k,l), (i,j)] = A[i,k] A[j,l]`` (= kron(A, A)
+    rearranged), so ``pixels_flat = coeffs_flat @ M`` in one (N, 64) @
+    (64, 64) matmul."""
+    A = _idct8_basis()
+    return np.einsum("ik,jl->klij", A, A).reshape(64, 64).astype(np.float32)
+
+
 def _dequant_idct(coeffs: jnp.ndarray, qtable: jnp.ndarray,
                   height: int, width: int) -> jnp.ndarray:
-    """``(B, bh, bw, 64)`` float coefficients -> ``(B, height, width)`` gray."""
-    A = jnp.asarray(_idct8_basis())
+    """``(B, bh, bw, 64)`` float coefficients -> ``(B, height, width)`` gray.
+
+    The 2D 8x8 IDCT is one linear map on the flat 64-coefficient vector, so
+    the whole batch runs as ONE ``(B*bh*bw, 64) @ (64, 64)`` MXU matmul
+    instead of per-block 8x8 einsums: tiny 8-wide contractions waste 15/16
+    of every 128-lane register AND can't tile the MXU, measured 37 ->
+    ~11 us/frame for dequant+IDCT+assemble at B=256 480p on the v5e.
+    HIGHEST precision keeps f32 accumulation: coefficient*basis products
+    reach ~2e3, and default (bf16) matmul precision would cost several gray
+    levels vs libjpeg (tests pin max 2.0 absolute).
+    """
+    M = jnp.asarray(_idct64_basis())
     b, bh, bw, _ = coeffs.shape
     q = qtable.astype(jnp.float32)
     if q.ndim == 2:
         q = q[:, None, None, :]
-    c = (coeffs * q).reshape(b, bh, bw, 8, 8)
-    # pixels = A @ C @ A^T over every block: two batched 8x8 matmuls.
-    px = jnp.einsum("ik,...kl,jl->...ij", A, c, A) + 128.0
-    # (B, bh, bw, 8, 8) -> (B, bh*8, bw*8)
-    img = px.transpose(0, 1, 3, 2, 4).reshape(b, bh * 8, bw * 8)
+    px = jax.lax.dot_general((coeffs * q).reshape(b, bh * bw, 64), M,
+                             (((2,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST) + 128.0
+    # (B, bh, bw, 8, 8) -> (B, bh*8, bw*8): one bulk relayout.
+    img = (px.reshape(b, bh, bw, 8, 8).transpose(0, 1, 3, 2, 4)
+           .reshape(b, bh * 8, bw * 8))
     img = jnp.clip(jnp.floor(img + 0.5), 0.0, 255.0)
     return img[:, :height, :width]
 
@@ -160,6 +200,63 @@ def delta_idct_frames(gaps: jnp.ndarray, vals: jnp.ndarray,
                          qtable, height, width)
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "grid"))
+def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
+                      sdeltas: jnp.ndarray, dgaps: jnp.ndarray,
+                      ddeltas: jnp.ndarray, qtable: jnp.ndarray, *,
+                      height: int, width: int,
+                      grid: tuple[int, int]) -> jnp.ndarray:
+    """SPLIT-transport streams -> gray frames, all on device.
+
+    Args:
+      ac: ``(cap,)`` uint8 AC entry bytes — low 3 bits gap-1 (gap 1..8 in
+        the 63-slot-per-block AC position space), high 5 bits the signed
+        value in [-15, 15]; value code -16 is an escape advancing
+        (low3+1)*63 positions with no emission. Tail padding must be 0x87
+        (escape, 504 positions) so implied positions overrun and drop.
+      dc: ``(B*blocks,)`` int8 per-block DC deltas (vs the previous block,
+        first block of each frame vs 0) — dense, no padding.
+      sgaps/sdeltas: AC spill stream (uint8 gaps over AC positions / int16
+        remainders for |v| > 15); tail padding (255, 0).
+      dgaps/ddeltas: DC spill stream (uint8 gaps over block indices / int16
+        remainders for |delta| > 127); tail padding (255, 0).
+      qtable: ``(B, 64)`` per-frame quantization tables, natural order.
+      height/width: true image dims; grid: ``(bh, bw)`` block grid.
+
+    Returns float32 frames ``(B, height, width)`` in 0..255 — identical to
+    :func:`idct_frames` on the equivalent dense tensor (same math, bitwise).
+
+    The AC scatter keeps the sorted-unique streaming form (see
+    :func:`delta_idct_frames`); escapes and fillers land on real positions
+    with value 0, which the pre-zeroed tensor absorbs. DCs skip scattering
+    entirely: one per-frame cumsum over the dense delta lane, then a
+    concatenate puts the DC column next to the 63 AC columns.
+    """
+    bh, bw = grid
+    b = qtable.shape[0]
+    blocks = bh * bw
+    low = (ac & 7).astype(jnp.int32)
+    v5 = ((ac >> 3).astype(jnp.int32) ^ 16) - 16  # sign-extend 5 bits
+    esc = v5 == -16
+    step = jnp.where(esc, (low + 1) * 63, low + 1)
+    pos = jnp.cumsum(step) - 1
+    val = jnp.where(esc, 0, v5).astype(jnp.int16)
+    flat = jnp.zeros(b * blocks * 63, jnp.int16).at[pos].set(
+        val, mode="drop", unique_indices=True, indices_are_sorted=True)
+    spos = jnp.cumsum(sgaps.astype(jnp.int32)) - 1
+    flat = flat.at[spos].add(sdeltas, mode="drop", unique_indices=True,
+                             indices_are_sorted=True)
+    d = dc.astype(jnp.int32)
+    dpos = jnp.cumsum(dgaps.astype(jnp.int32)) - 1
+    d = d.at[dpos].add(ddeltas.astype(jnp.int32), mode="drop",
+                       unique_indices=True, indices_are_sorted=True)
+    dcv = jnp.cumsum(d.reshape(b, blocks), axis=1).astype(jnp.int16)
+    coeffs = jnp.concatenate([dcv.reshape(b * blocks, 1),
+                              flat.reshape(b * blocks, 63)], axis=1)
+    return _dequant_idct(coeffs.reshape(b, bh, bw, 64).astype(jnp.float32),
+                         qtable, height, width)
+
+
 def _bucket(n: int, minimum: int = 1 << 12) -> int:
     """Smallest 9/8-ratio geometric bucket >= n: pads device-bound streams
     so jit shapes change rarely (a steady scene lands in 1-2 buckets, each a
@@ -206,6 +303,16 @@ class MjpegBatchDecoder:
         self._vals: np.ndarray | None = None
         self._sgaps: np.ndarray | None = None
         self._sdeltas: np.ndarray | None = None
+        # Split-transport buffers (ac bytes, dc deltas, the two spills).
+        self._accap = 0
+        self._ascap = 0
+        self._dscap = 0
+        self._ac: np.ndarray | None = None
+        self._dc: np.ndarray | None = None
+        self._asg: np.ndarray | None = None
+        self._asd: np.ndarray | None = None
+        self._dsg: np.ndarray | None = None
+        self._dsd: np.ndarray | None = None
         self.last_stats: dict | None = None
 
     @staticmethod
@@ -233,6 +340,7 @@ class MjpegBatchDecoder:
         if dims is not None and dims != (self._meta[0], self._meta[1]):
             self._probe(first_jpeg)
             self._cap = self._scap = 0
+            self._accap = self._ascap = self._dscap = 0
 
     def _relearn_or_raise(self, jpegs: list[bytes], got: int, n: int) -> None:
         """After a batch call that failed or returned a different geometry:
@@ -244,6 +352,7 @@ class MjpegBatchDecoder:
         if self._meta == old and got != n:
             raise ValueError(f"JPEG batch decode failed at frame {got}")
         self._cap = self._scap = 0
+        self._accap = self._ascap = self._dscap = 0
 
     def _probe(self, jpeg: bytes) -> None:
         import ctypes
@@ -453,3 +562,124 @@ class MjpegBatchDecoder:
         self.last_stats = stats
         return HostPacked(gaps, vals, sgaps, sdeltas, qtables, h, w,
                           (bh, bw), stats)
+
+    def decode_split(self, jpegs: list[bytes]) -> jnp.ndarray:
+        """Decode a batch to ``(B, H, W)`` float32 via the SPLIT (DC/AC
+        separated) transport — identical output to :meth:`decode`, the
+        fewest host->device bytes of the three transports (~40% below
+        PACKED on real q70 streams: the measured byte split is ~25% block
+        DCs with large values that need no gaps, ~75% ACs with small gaps
+        and small values that fit one byte)."""
+        return self.split_to_device(self.entropy_decode_split(jpegs))
+
+    def split_to_device(self, hs: HostSplit) -> jnp.ndarray:
+        """Device half of :meth:`decode_split` — jit dispatch, MAIN thread
+        only (see HostPacked)."""
+        self.last_stats = hs.stats
+        return split_idct_frames(
+            jnp.asarray(hs.ac), jnp.asarray(hs.dc), jnp.asarray(hs.sgaps),
+            jnp.asarray(hs.sdeltas), jnp.asarray(hs.dgaps),
+            jnp.asarray(hs.ddeltas), jnp.asarray(hs.qtables),
+            height=hs.height, width=hs.width, grid=hs.grid)
+
+    def entropy_decode_split(self, jpegs: list[bytes]) -> HostSplit:
+        """Host half of :meth:`decode_split` — pure numpy + native call,
+        safe on a prefetch thread (no jax dispatch)."""
+        import ctypes
+        self._ensure_meta(jpegs[0])
+        n = len(jpegs)
+        args = None
+        for attempt in range(2):
+            w, h, bw, bh = self._meta
+            blocks = bw * bh
+            # int32 position-space guard (see entropy_decode_packed): the
+            # AC space is 63 slots/block, the DC space `blocks` slots.
+            if n * blocks * 63 >= 2 ** 31:
+                raise ValueError(
+                    f"split transport: batch of {n} frames x {blocks} "
+                    f"blocks exceeds the int32 position space; split the "
+                    f"batch")
+            if args is None:
+                args = self._batch_args(jpegs)
+            if self._accap == 0:
+                # ~4 AC bytes/block measured on q70 480p; grow on demand.
+                self._accap = 5 * blocks * n
+                self._ascap = max(blocks * n // 16, 1 << 12)
+                self._dscap = max(blocks * n // 64, 1 << 12)
+            meta = (ctypes.c_int32 * 4)()
+            qtables = np.empty((n, 64), np.uint16)
+            counts = np.zeros(3, np.int64)
+            if self._dc is None or self._dc.size < n * blocks:
+                self._dc = np.empty(n * blocks, np.int8)
+            while True:
+                if self._ac is None or self._ac.size < self._accap:
+                    self._ac = np.empty(self._accap, np.uint8)
+                if self._asg is None or self._asg.size < self._ascap:
+                    self._asg = np.empty(self._ascap, np.uint8)
+                    self._asd = np.empty(self._ascap, np.int16)
+                if self._dsg is None or self._dsg.size < self._dscap:
+                    self._dsg = np.empty(self._dscap, np.uint8)
+                    self._dsd = np.empty(self._dscap, np.int16)
+                got = self._lib.vbs_mjpeg_batch_y_coeffs_split(
+                    *args,
+                    self._ac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self._accap,
+                    self._dc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    self._asg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self._asd.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    self._ascap,
+                    self._dsg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self._dsd.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    self._dscap,
+                    counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    blocks, meta,
+                    qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+                if got == n:
+                    break
+                if got == _RC_AC_CAP:
+                    self._accap = min(2 * self._accap, 80 * blocks * n)
+                elif got == _RC_AC_SPILL_CAP:
+                    self._ascap = min(2 * self._ascap, 64 * blocks * n)
+                elif got == _RC_DC_SPILL_CAP:
+                    self._dscap = min(2 * self._dscap, 2 * blocks * n)
+                else:
+                    break
+            if got == n and (meta[0], meta[1], meta[2],
+                             meta[3]) == self._meta:
+                break
+            if attempt > 0:
+                raise ValueError(f"JPEG batch decode failed at frame {got}")
+            self._relearn_or_raise(jpegs, got, n)
+        a_n, s_n, d_n = int(counts[0]), int(counts[1]), int(counts[2])
+        a_b = min(_bucket(a_n), self._ac.size)
+        s_b = min(_bucket(s_n), self._asg.size)
+        d_b = min(_bucket(d_n), self._dsg.size)
+        # Tail padding overrun guards (see entropy_decode_packed): AC pad
+        # bytes are 0x87 escapes advancing 504 positions each; spill pads
+        # advance 255.
+        if (n * blocks * 63 + 504 * (a_b - a_n) >= 2 ** 31
+                or n * blocks * 63 + 255 * (s_b - s_n) >= 2 ** 31
+                or n * blocks + 255 * (d_b - d_n) >= 2 ** 31):
+            raise ValueError(
+                "split transport: tail-pad positions would exceed the "
+                "int32 position space; split the batch")
+        ac = self._ac[:a_b].copy()
+        ac[a_n:] = 0x87  # escape x 504: positions overrun and drop
+        dc = self._dc[:n * blocks].copy()
+        sgaps = self._asg[:s_b].copy()
+        sdeltas = self._asd[:s_b].copy()
+        sgaps[s_n:] = 255
+        sdeltas[s_n:] = 0
+        dgaps = self._dsg[:d_b].copy()
+        ddeltas = self._dsd[:d_b].copy()
+        dgaps[d_n:] = 255
+        ddeltas[d_n:] = 0
+        stats = {
+            "transport": "split", "frames": n, "nnz": a_n,
+            "bytes_shipped": (a_b + n * blocks + 3 * s_b + 3 * d_b
+                              + qtables.nbytes),
+            "bytes_dense": n * blocks * 128 + qtables.nbytes,
+        }
+        self.last_stats = stats
+        return HostSplit(ac, dc, sgaps, sdeltas, dgaps, ddeltas, qtables,
+                         h, w, (bh, bw), stats)
