@@ -262,6 +262,7 @@ enum {
 // Emit a decoded Y block into the DENSE layout. `out` must be pre-zeroed;
 // only the nonzero coefficients (mask bits) are written.
 struct DenseSink {
+  static constexpr bool kZigzagOrder = false;  // natural (de-zigzagged)
   int16_t* out;  // blocks * 64, block row-major
 
   inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
@@ -279,6 +280,7 @@ struct DenseSink {
 // positions persist across frames so one cumsum on the device reconstructs
 // every position in the batch's flat coefficient space.
 struct DeltaSink {
+  static constexpr bool kZigzagOrder = false;  // natural (de-zigzagged)
   uint8_t* gaps;
   int8_t* vals;
   int64_t cap, n = 0;
@@ -333,6 +335,7 @@ struct DeltaSink {
 // path): same encoding as DeltaSink, but capacity never fails — each worker
 // owns its buffers and the main thread stitches slices afterwards.
 struct DeltaVecSink {
+  static constexpr bool kZigzagOrder = false;  // natural (de-zigzagged)
   std::vector<uint8_t> gaps;
   std::vector<int8_t> vals;
   std::vector<uint8_t> sgaps;
@@ -381,8 +384,9 @@ struct DeltaVecSink {
 //   absolute quantized DC (first block of each frame deltas from 0, so the
 //   device reconstructs with one per-frame cumsum). |delta| > 127 spills
 //   the remainder to a (gap uint8 over block indices, int16) side stream.
-// * AC: ONE byte per entry in the 63-slot-per-block AC position space
-//   (pos = block*63 + k-1). Low 3 bits: gap-1 (gap 1..8). High 5 bits:
+// * AC: ONE byte per entry in the 63-slot-per-block ZIGZAG AC position
+//   space (pos = block*63 + zigzag_index-1 — scan order, so JPEG's own
+//   run-lengths keep gaps tiny). Low 3 bits: gap-1 (gap 1..8). High 5 bits:
 //   the value, signed 5-bit two's complement in [-15, 15] — the code -16
 //   (byte & 0x80 with value bits 10000) is an ESCAPE advancing
 //   (low3+1)*63 positions (1..8 whole empty blocks) and emitting nothing.
@@ -393,6 +397,7 @@ struct DeltaVecSink {
 // q70 streams (measured 40 -> 24.5 KB/frame at 480p) — the transport is
 // for host->TPU links where bytes are the wall (benchmarks/README.md).
 struct SplitSink {
+  static constexpr bool kZigzagOrder = true;  // see emit(): zigzag gaps
   uint8_t* ac;
   int64_t ac_cap, ac_n = 0;
   int8_t* dc;      // exactly n * blocks_per_frame, cursor dc_n
@@ -668,8 +673,15 @@ static int decode_y(const uint8_t* data, int len, Sink& sink, int max_blocks,
                     if (k > 63) return -14;
                     const int32_t v = br.receive_extend(s);
                     if (msk) {
-                      dst[kZigzag[k]] = static_cast<int16_t>(v);
-                      *msk |= 1ull << kZigzag[k];
+                      // Sinks choose their block-slot order: NATURAL
+                      // (de-zigzagged, what a dense tensor wants) or
+                      // ZIGZAG (the scan's own order — run-lengths stay
+                      // tiny, which the split transport's 3-bit gaps
+                      // exploit; the device folds the inverse permutation
+                      // into the IDCT basis matrix for free).
+                      const int slot_k = Sink::kZigzagOrder ? k : kZigzag[k];
+                      dst[slot_k] = static_cast<int16_t>(v);
+                      *msk |= 1ull << slot_k;
                     }
                     ++k;
                   }

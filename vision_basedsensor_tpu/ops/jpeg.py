@@ -104,17 +104,33 @@ def _idct8_basis() -> np.ndarray:
     return A.astype(np.float32)
 
 
+# Natural index of each zigzag scan position (T.81 figure A.6) — must match
+# native/jpeg_coeffs.cpp:kZigzag. The SPLIT transport keeps coefficients in
+# zigzag order end to end (the scan's run-lengths stay tiny, which its 3-bit
+# gaps exploit); the inverse permutation folds into the IDCT basis and the
+# per-frame qtable reorder below at zero device cost.
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int32)
+
+
 @functools.cache
-def _idct64_basis() -> np.ndarray:
+def _idct64_basis(zigzag: bool = False) -> np.ndarray:
     """Flat 2D-IDCT map: ``M[(k,l), (i,j)] = A[i,k] A[j,l]`` (= kron(A, A)
     rearranged), so ``pixels_flat = coeffs_flat @ M`` in one (N, 64) @
-    (64, 64) matmul."""
+    (64, 64) matmul. ``zigzag`` row-permutes M so zigzag-ordered
+    coefficient vectors multiply directly."""
     A = _idct8_basis()
-    return np.einsum("ik,jl->klij", A, A).reshape(64, 64).astype(np.float32)
+    M = np.einsum("ik,jl->klij", A, A).reshape(64, 64).astype(np.float32)
+    return M[_ZIGZAG] if zigzag else M
 
 
 def _dequant_idct(coeffs: jnp.ndarray, qtable: jnp.ndarray,
-                  height: int, width: int) -> jnp.ndarray:
+                  height: int, width: int,
+                  zigzag: bool = False) -> jnp.ndarray:
     """``(B, bh, bw, 64)`` float coefficients -> ``(B, height, width)`` gray.
 
     The 2D 8x8 IDCT is one linear map on the flat 64-coefficient vector, so
@@ -125,10 +141,19 @@ def _dequant_idct(coeffs: jnp.ndarray, qtable: jnp.ndarray,
     HIGHEST precision keeps f32 accumulation: coefficient*basis products
     reach ~2e3, and default (bf16) matmul precision would cost several gray
     levels vs libjpeg (tests pin max 2.0 absolute).
+
+    ``zigzag`` says how ``coeffs``' last axis is ordered. Internally the
+    contraction ALWAYS runs in zigzag order (natural-order inputs are
+    permuted first — a cheap static relayout): float accumulation order is
+    part of the transports' bitwise-identical-output contract, so every
+    transport must sum the same products in the same sequence.
     """
-    M = jnp.asarray(_idct64_basis())
+    zz = jnp.asarray(_ZIGZAG)
+    if not zigzag:
+        coeffs = coeffs[..., zz]
+    M = jnp.asarray(_idct64_basis(True))
     b, bh, bw, _ = coeffs.shape
-    q = qtable.astype(jnp.float32)
+    q = qtable.astype(jnp.float32)[..., zz]  # tables are stored natural-order
     if q.ndim == 2:
         q = q[:, None, None, :]
     px = jax.lax.dot_general((coeffs * q).reshape(b, bh * bw, 64), M,
@@ -210,10 +235,12 @@ def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
 
     Args:
       ac: ``(cap,)`` uint8 AC entry bytes — low 3 bits gap-1 (gap 1..8 in
-        the 63-slot-per-block AC position space), high 5 bits the signed
-        value in [-15, 15]; value code -16 is an escape advancing
-        (low3+1)*63 positions with no emission. Tail padding must be 0x87
-        (escape, 504 positions) so implied positions overrun and drop.
+        the 63-slot-per-block ZIGZAG AC position space, pos = block*63 +
+        zigzag_index-1: scan order keeps JPEG's own run-lengths, so gaps
+        almost always fit 3 bits), high 5 bits the signed value in
+        [-15, 15]; value code -16 is an escape advancing (low3+1)*63
+        positions with no emission. Tail padding must be 0x87 (escape, 504
+        positions) so implied positions overrun and drop.
       dc: ``(B*blocks,)`` int8 per-block DC deltas (vs the previous block,
         first block of each frame vs 0) — dense, no padding.
       sgaps/sdeltas: AC spill stream (uint8 gaps over AC positions / int16
@@ -251,10 +278,12 @@ def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
     d = d.at[dpos].add(ddeltas.astype(jnp.int32), mode="drop",
                        unique_indices=True, indices_are_sorted=True)
     dcv = jnp.cumsum(d.reshape(b, blocks), axis=1).astype(jnp.int16)
+    # [dc | zz1..zz63] IS the zigzag-ordered coefficient vector (zigzag
+    # position 0 is the DC); the inverse permutation rides the IDCT basis.
     coeffs = jnp.concatenate([dcv.reshape(b * blocks, 1),
                               flat.reshape(b * blocks, 63)], axis=1)
     return _dequant_idct(coeffs.reshape(b, bh, bw, 64).astype(jnp.float32),
-                         qtable, height, width)
+                         qtable, height, width, zigzag=True)
 
 
 def _bucket(n: int, minimum: int = 1 << 12) -> int:
