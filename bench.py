@@ -182,23 +182,27 @@ def bench_decode_fed(n_frames: int, batch: int) -> dict | None:
           try:  # one backend failing must not erase the others' numbers
             src = make()
             on_device = backend.startswith("tpu")
-            # Decode-only throughput (the ingest ceiling); keep the first
-            # batch for compile/ref. The acc chain makes every device
-            # batch's execution a data dependency of the final host read —
+            # Decode-only throughput (the ingest ceiling). The first batch
+            # runs BEFORE the timer: it compiles the decode jits (tens of
+            # seconds through the tunnel), which is a one-time cost, not
+            # throughput — including it reported 80-150 "fps" for paths
+            # sustaining 600-900. The acc chain makes every device batch's
+            # execution a data dependency of the final host read —
             # block_until_ready alone can acknowledge without executing
             # through the axon relay (benchmarks/ablate_detect.py).
-            first = None
+            it = src.batches(batch)
+            first = next(it)
             acc = jnp.float32(0.0)
+            if on_device:
+                jax.block_until_ready(first)
             t0 = time.perf_counter()
             n_dec = 0
-            for b in src.batches(batch):
-                if first is None:
-                    first = b
+            for b in it:
                 if on_device:
                     acc = acc + b[0, 0, 0] * 1e-30
                 n_dec += b.shape[0]
             float(np.asarray(acc))
-            decode_fps = n_dec / (time.perf_counter() - t0)
+            decode_fps = n_dec / max(time.perf_counter() - t0, 1e-9)
             stats = getattr(src, "last_stats", None)
             if stats:
                 bytes_per_frame[backend] = stats["bytes_shipped"] / stats["frames"]
@@ -346,6 +350,25 @@ def bench_latency_packed(iters: int = 50) -> dict | None:
                                       int(len(times) * 0.99))] * 1e3, 2)}
 
 
+def bench_link(mb: int = 13, reps: int = 3) -> dict:
+    """Effective host->device link bandwidth (context for decode-fed: the
+    tunnel swings 20-40 MB/s day to day, and the sparse transports are
+    link-bound — sustained fps tracks bytes/frame x this number)."""
+    import jax
+
+    x = np.random.default_rng(0).integers(
+        0, 255, size=(mb * 1024 * 1024,), dtype=np.uint8)
+    d = jax.device_put(x)
+    jax.block_until_ready(d)  # warm
+    best = 0.0
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        d = jax.device_put(x ^ np.uint8(rep + 1))  # distinct, no dedup
+        jax.block_until_ready(d)
+        best = max(best, mb / (time.perf_counter() - t0))
+    return {"h2d_MBps": round(best, 1)}
+
+
 def main() -> None:
     """Run every benchmark, emitting each JSON metric line the moment it is
     measured, guarding each benchmark independently, and exiting 0 with
@@ -384,10 +407,21 @@ def main() -> None:
         _emit({"metric": "marker_to_pose_pipeline_fps_single_chip",
                "error": str(e)[:500]})
 
-    # 2. Production ingest path (decode-fed).
+    # 2. Production ingest path (decode-fed), with the link context the
+    #    sparse transports are bound by.
+    link = None
+    try:
+        link = bench_link()
+        _emit({"metric": "h2d_link_bandwidth", "value": link["h2d_MBps"],
+               "unit": "MB/s host->device via the attachment (tunnel here)",
+               "vs_baseline": 1.0})
+    except Exception as e:  # noqa: BLE001
+        _emit({"metric": "h2d_link_bandwidth", "error": str(e)[:300]})
     try:
         decode = bench_decode_fed(n_frames=2048, batch=256)
         if decode is not None:
+            if link is not None:
+                decode["link_MBps"] = link["h2d_MBps"]
             _emit({
                 "metric": "sustained_fps_decode_fed",
                 "value": round(decode["sustained_fps"], 1),
@@ -398,6 +432,7 @@ def main() -> None:
                 "backends": decode["all"],
                 "backend_errors": decode["errors"],
                 "bytes_per_frame": decode["bytes_per_frame"],
+                "link_MBps": decode.get("link_MBps"),
             })
     except Exception as e:  # noqa: BLE001
         failures += 1

@@ -172,3 +172,36 @@ def test_detector_uses_fused_path_equivalently():
                                np.asarray(det_p.xy)[v], atol=1e-4)
     np.testing.assert_allclose(np.asarray(det_x.axes)[v],
                                np.asarray(det_p.axes)[v], atol=1e-3)
+
+
+@pytest.mark.parametrize("h,w", [(1080, 1920), (1440, 2560), (960, 1280),
+                                 (488, 640), (2160, 3840)])
+def test_pick_rows_mosaic_cell_alignment(h, w):
+    """On-chip finding (round 4): the CELL-grid outputs tile in blocks of
+    ``rows // 8`` rows, and Mosaic requires that second-to-last block dim
+    divisible by 8 (or equal to the whole array dim). 1080p used to pick
+    rows=120 -> a (1, 15, W) cell block -> hard lowering error on the real
+    chip that interpret mode never catches. Pin: every selected (or padded
+    fallback) row block is 64-aligned."""
+    from vision_basedsensor_tpu.ops.pallas.fields import _pick_rows
+
+    rows = _pick_rows(h, w) or 128
+    assert rows % 64 == 0, (h, w, rows)
+    hp = -(-h // rows) * rows
+    assert hp % rows == 0
+
+
+def test_tiled_fields_1080p_geometry_bit_match():
+    """The exact 1080p geometry (the failure case above) through the tiled
+    kernel in interpret mode: parity vs the XLA ops, padded rows must not
+    leak into the cell grid."""
+    cfg = DetectConfig()
+    prof = cfg.high_res
+    rng = np.random.default_rng(17)
+    h, w = 1080, 1920
+    ncc = jnp.asarray(np.round(rng.random((1, h, w)) * 8.0) / 8.0,
+                      jnp.float32)
+    area = jnp.asarray(rng.random((1, h, w)) > 0.6, jnp.float32)
+    gray = jnp.asarray(rng.integers(0, 256, (1, h, w)), jnp.float32)
+    _assert_equal(_xla_reference(ncc, area, cfg, prof),
+                  _fused(ncc, area, gray, cfg, prof))

@@ -274,12 +274,16 @@ def fused_fields(ncc: jnp.ndarray, area: jnp.ndarray, gray: jnp.ndarray,
 
 
 def _pick_rows(h: int, w: int) -> int:
-    """Largest row-block size that divides ``h``, is 8-aligned, and keeps
+    """Largest row-block size that divides ``h``, is 64-aligned, and keeps
     the per-program working set modest (~<= 400K px/block, ~10 MB of f32
-    work arrays incl. cascade temporaries). 0 = no divisor >= 64 (caller
-    pads to a multiple of 128 instead)."""
-    cap = max(64, min(384, (400_000 // w) // CELL * CELL))
-    for r in range(cap, 63, -CELL):
+    work arrays incl. cascade temporaries). 64-aligned, not merely
+    8-aligned: the CELL-grid outputs' blocks are ``rows // 8`` rows, and
+    Mosaic requires THAT to be divisible by 8 too (1080p picked rows=120 ->
+    a (1, 15, W) cell block -> lowering error on the real chip; interpret
+    mode never enforces it). 0 = no 64-aligned divisor >= 64 (caller pads
+    to a multiple of 128 instead — 1080 has no 16-aligned divisor at all)."""
+    cap = max(64, min(384, (400_000 // w) // 64 * 64))
+    for r in range(cap, 63, -64):
         if h % r == 0:
             return r
     return 0
