@@ -248,8 +248,8 @@ def test_cli_run_live_with_publisher(capsys):
     def snoop():
         # Poll until the CLI's publisher comes up, then read one state.
         import time
-        for _ in range(200):
-            time.sleep(0.05)
+        for _ in range(1000):
+            time.sleep(0.01)
             try:
                 s = urllib.request.urlopen(
                     f"http://127.0.0.1:{pub_port}/state", timeout=1).read()
@@ -258,17 +258,25 @@ def test_cli_run_live_with_publisher(capsys):
             except Exception:
                 continue
 
-    # The publisher closes with main(), so read the state concurrently.
-    t = threading.Thread(target=snoop)
-    t.start()
+    # The publisher closes with main(), so the state must be read
+    # CONCURRENTLY — a liveness race on the 1-core CI host (under full-
+    # suite load main() can finish all frames before the snoop thread gets
+    # scheduled into a successful poll). One retry with a longer run keeps
+    # the assertion meaningful without making the suite flaky.
+    out = ""
     try:
-        main(["run-live", f"http://127.0.0.1:{server.port}/stream",
-              "--batch", "2", "--max-frames", "4", "--publish",
-              str(pub_port)])
+        for attempt, frames in enumerate((8, 24)):
+            t = threading.Thread(target=snoop)
+            t.start()
+            main(["run-live", f"http://127.0.0.1:{server.port}/stream",
+                  "--batch", "2", "--max-frames", str(frames), "--publish",
+                  str(pub_port)])
+            t.join(timeout=15)
+            out += capsys.readouterr().out
+            if captured.get("state") is not None:
+                break
     finally:
         server.stop()
-        t.join(timeout=15)
-    out = capsys.readouterr().out
     assert "contact state served" in out
     assert "tracked" in out
     st = captured.get("state")
@@ -371,3 +379,48 @@ def test_cli_tilt_video_vs_analyze_txt_pinned(tmp_path, capsys):
     out_txt = capsys.readouterr().out
     a_txt = float(out_txt.split("Tilt Angle = ")[1].split(" ")[0])
     assert abs(a_video - a_txt) < 1e-3, (a_video, a_txt)
+
+
+def test_cli_track_tpu_decode_matches_host(video_npy, tmp_path):
+    """track --tpu-decode on an MJPG AVI: the split-transport on-device
+    decode path through the overlapped feed must track the same markers as
+    the host-decode path (IDCT-rounding-level pixel differences only), and
+    gracefully fall back for non-AVI inputs."""
+    cv2 = pytest.importorskip("cv2")
+    from vision_basedsensor_tpu.native import load_jpeg_lib
+    if load_jpeg_lib() is None:
+        pytest.skip("no C++ compiler for the native JPEG decoder")
+    from vision_basedsensor_tpu.io.video import VideoWriter
+
+    frames = np.load(video_npy)
+    avi = str(tmp_path / "clip.avi")
+    vw = VideoWriter(avi, 12.0, (frames.shape[2], frames.shape[1]),
+                     fourcc="MJPG")
+    for f in frames:
+        vw.write(f)
+    vw.close()
+
+    host_dir = str(tmp_path / "host")
+    tpu_dir = str(tmp_path / "tpu")
+    main(["track", avi, "--output-dir", host_dir])
+    main(["track", avi, "--output-dir", tpu_dir, "--tpu-decode"])
+    h = open(os.path.join(host_dir, "markers.csv")).read().splitlines()
+    t = open(os.path.join(tpu_dir, "markers.csv")).read().splitlines()
+    assert h[0] == t[0] and len(h) == len(t)
+    for lh, lt in zip(h[1:], t[1:]):
+        fh = np.array(lh.split(",")[2:], float)
+        ft = np.array(lt.split(",")[2:], float)
+        assert lh.split(",")[:2] == lt.split(",")[:2]
+        # row/col/centers tight; axes looser (the ±1 gray IDCT rounding
+        # shifts the photometric axis estimate a few tenths of a px on
+        # this tiny fixture); the ellipse ANGLE of near-circular markers
+        # is ill-conditioned (axes differ by <1%), so degrees of swing are
+        # legitimate.
+        np.testing.assert_allclose(ft[:6], fh[:6], atol=0.35)
+        np.testing.assert_allclose(ft[6:8], fh[6:8], atol=0.6)
+        assert abs((ft[8] - fh[8] + 90.0) % 180.0 - 90.0) < 6.0
+
+    # Non-AVI input: --tpu-decode must fall back to host decode, not die.
+    fb_dir = str(tmp_path / "fb")
+    main(["track", video_npy, "--output-dir", fb_dir, "--tpu-decode"])
+    assert os.path.exists(os.path.join(fb_dir, "markers.csv"))

@@ -291,10 +291,12 @@ def test_sharded_chunked_warmup_uses_global_offset(setup):
     assert step.frames_seen == 8
 
 @pytest.mark.slow
-def test_sharded_packed_ingest_matches_single_device(setup):
-    """ShardedPackedFeed: per-shard packed coefficient transport + shard_map
-    expand must reproduce the single-device decode bitwise, carry the mesh's
-    frame sharding, and feed the sharded pipeline end to end."""
+@pytest.mark.parametrize("transport", ["split", "packed"])
+def test_sharded_packed_ingest_matches_single_device(setup, transport):
+    """ShardedPackedFeed: per-shard sparse coefficient transport (both
+    formats) + shard_map expand must reproduce the single-device decode
+    bitwise, carry the mesh's frame sharding, and feed the sharded pipeline
+    end to end."""
     cv2 = pytest.importorskip("cv2")
     from vision_basedsensor_tpu.native import load_jpeg_lib
     if load_jpeg_lib() is None:
@@ -307,7 +309,7 @@ def test_sharded_packed_ingest_matches_single_device(setup):
              .tobytes() for f in np.asarray(frames).astype(np.uint8)]
 
     mesh = make_mesh(jax.devices()[:8])
-    feed = ShardedPackedFeed(mesh)
+    feed = ShardedPackedFeed(mesh, transport=transport)
     sharded = feed.decode_packed(jpegs)
     single = MjpegBatchDecoder().decode_packed(jpegs)
     assert sharded.shape == single.shape

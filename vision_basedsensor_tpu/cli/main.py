@@ -66,10 +66,26 @@ def _stream_video(path, args, cfg, apply_warmup: bool, chunk: int):
     """
     import jax
     from vision_basedsensor_tpu.pipeline import StreamingPipeline
-    src = _make_source(path)
+    src = None
+    if getattr(args, "tpu_decode", False):
+        from vision_basedsensor_tpu.io.video import (MjpegAviTpuSource,
+                                                     device_feed)
+        try:
+            src = MjpegAviTpuSource(path)
+        except (RuntimeError, ValueError, OSError) as e:
+            print(f"--tpu-decode unavailable for {path} ({e}); using host "
+                  "decode", file=sys.stderr)
+    if src is None:
+        src = _make_source(path)
+        batches = src.batches(chunk)
+    else:
+        # Overlapped feed: host entropy decode on a prefetch thread, all
+        # jax dispatch (transfer + expand) on this thread, one batch of
+        # device lookahead (io/video.device_feed).
+        batches = device_feed(src, chunk)
     sp, cam = None, None
     tr, rc = [], []
-    for batch in src.batches(chunk):
+    for batch in batches:
         if sp is None:
             cam = _camera_from_args(args, batch.shape)
             sp = StreamingPipeline(cam, cfg,
@@ -756,6 +772,11 @@ def main(argv=None):
     t.add_argument("--annotate", action="store_true")
     t.add_argument("--chunk", type=int, default=256,
                    help="streaming chunk size (bounds host RAM)")
+    t.add_argument("--tpu-decode", action="store_true",
+                   help="MJPG AVIs: native entropy decode + on-device "
+                        "IDCT via the split sparse transport (fastest on "
+                        "weak hosts / thin links; falls back to host "
+                        "decode for other inputs)")
     t.add_argument("--calibration")
     t.add_argument("--extrinsics")
     t.set_defaults(fn=cmd_track)

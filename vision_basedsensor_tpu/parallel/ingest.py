@@ -51,10 +51,16 @@ class ShardedPackedFeed:
     ``make_sharded_pipeline``'s step without resharding the batch axis.
     """
 
-    def __init__(self, mesh: Mesh, decoder=None):
+    def __init__(self, mesh: Mesh, decoder=None, transport: str = "split"):
+        """``transport``: ``split`` (default — DC/AC separated streams,
+        fewest bytes per device link) or ``packed`` (2-byte delta pairs);
+        see :class:`~vision_basedsensor_tpu.ops.jpeg.MjpegBatchDecoder`."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+        if transport not in ("split", "packed"):
+            raise ValueError(f"transport must be split|packed, got {transport}")
         self.mesh = mesh
         self._dec = decoder if decoder is not None else MjpegBatchDecoder()
+        self._transport = transport
         self._expand_cache: dict = {}
 
     @property
@@ -74,62 +80,81 @@ class ShardedPackedFeed:
             raise ValueError(f"batch of {n} frames does not divide the data "
                              f"axis ({d}); pad the final chunk")
         per = n // d
-        shards = [self._dec.entropy_decode_packed(jpegs[i * per:(i + 1) * per])
-                  for i in range(d)]
+        dec = (self._dec.entropy_decode_split if self._transport == "split"
+               else self._dec.entropy_decode_packed)
+        shards = [dec(jpegs[i * per:(i + 1) * per]) for i in range(d)]
         geo = {(s.height, s.width, s.grid) for s in shards}
         if len(geo) != 1:
             raise ValueError(f"geometry changed inside a batch: {geo}")
         h, w = shards[0].height, shards[0].width
         grid = shards[0].grid
+        qtables = np.stack([s.qtables for s in shards])  # (d, per, 64)
+        data_sh = NamedSharding(self.mesh, P("data"))
+        put = lambda a: jax.device_put(a, data_sh)  # noqa: E731
 
         # Uniform stream lengths across shards (shard_map blocks must be
         # equal): pad every shard to the max bucket with tail fillers.
+        if self._transport == "split":
+            a_cap = max(s.ac.size for s in shards)
+            s_cap = max(s.sgaps.size for s in shards)
+            d_cap = max(s.dgaps.size for s in shards)
+            expand = self._expand_for(h, w, grid)
+            return expand(
+                put(np.stack([_pad_stream(s.ac, a_cap, 0x87)
+                              for s in shards])),
+                put(np.stack([s.dc for s in shards])),
+                put(np.stack([_pad_stream(s.sgaps, s_cap, 255)
+                              for s in shards])),
+                put(np.stack([_pad_stream(s.sdeltas, s_cap, 0)
+                              for s in shards])),
+                put(np.stack([_pad_stream(s.dgaps, d_cap, 255)
+                              for s in shards])),
+                put(np.stack([_pad_stream(s.ddeltas, d_cap, 0)
+                              for s in shards])),
+                put(qtables))
         e_cap = max(s.gaps.size for s in shards)
         s_cap = max(s.sgaps.size for s in shards)
-        gaps = np.stack([_pad_stream(s.gaps, e_cap, 255) for s in shards])
-        vals = np.stack([_pad_stream(s.vals, e_cap, 0) for s in shards])
-        sgaps = np.stack([_pad_stream(s.sgaps, s_cap, 255) for s in shards])
-        sdeltas = np.stack([_pad_stream(s.sdeltas, s_cap, 0) for s in shards])
-        qtables = np.stack([s.qtables for s in shards])  # (d, per, 64)
-
-        data_sh = NamedSharding(self.mesh, P("data"))
         expand = self._expand_for(h, w, grid)
-        return expand(jax.device_put(gaps, data_sh),
-                      jax.device_put(vals, data_sh),
-                      jax.device_put(sgaps, data_sh),
-                      jax.device_put(sdeltas, data_sh),
-                      jax.device_put(qtables, data_sh))
+        return expand(
+            put(np.stack([_pad_stream(s.gaps, e_cap, 255) for s in shards])),
+            put(np.stack([_pad_stream(s.vals, e_cap, 0) for s in shards])),
+            put(np.stack([_pad_stream(s.sgaps, s_cap, 255) for s in shards])),
+            put(np.stack([_pad_stream(s.sdeltas, s_cap, 0) for s in shards])),
+            put(qtables))
 
     def _expand_for(self, h: int, w: int, grid: tuple[int, int]):
-        key = (h, w, grid)
+        key = (self._transport, h, w, grid)
         if key not in self._expand_cache:
-            from vision_basedsensor_tpu.ops.jpeg import delta_idct_frames
+            from vision_basedsensor_tpu.ops.jpeg import (delta_idct_frames,
+                                                         split_idct_frames)
             from vision_basedsensor_tpu.parallel.mesh import _frame_spec
 
             mesh = self.mesh
             out_spec = _frame_spec(mesh)
 
-            def _local(g, v, sg, sd, q):
-                # Local blocks are (1, cap) / (1, per, 64): one shard each.
-                frames = delta_idct_frames(g[0], v[0], sg[0], sd[0], q[0],
-                                           height=h, width=w, grid=grid)
-                if "spatial" in mesh.axis_names:
-                    # shard_map out_specs split the LOCAL result; rows are
-                    # whole here, so declare P('data') and let the jit-level
-                    # constraint below reshard rows once, on device.
-                    pass
-                return frames
+            if self._transport == "split":
+                def _local(ac, dc, sg, sd, dg, dd, q):
+                    # Local blocks are (1, cap) / (1, per, 64): one shard.
+                    return split_idct_frames(ac[0], dc[0], sg[0], sd[0],
+                                             dg[0], dd[0], q[0],
+                                             height=h, width=w, grid=grid)
+                n_in = 7
+            else:
+                def _local(g, v, sg, sd, q):
+                    # Rows stay whole per shard; the jit-level constraint
+                    # below reshards onto `spatial` once, on device.
+                    return delta_idct_frames(g[0], v[0], sg[0], sd[0], q[0],
+                                             height=h, width=w, grid=grid)
+                n_in = 5
 
             fn = jax.shard_map(_local, mesh=mesh,
-                               in_specs=(P("data"), P("data"), P("data"),
-                                         P("data"), P("data")),
+                               in_specs=(P("data"),) * n_in,
                                out_specs=P("data"), check_vma=False)
 
             @jax.jit
-            def expand(g, v, sg, sd, q):
-                frames = fn(g, v, sg, sd, q)
+            def expand(*streams):
                 return jax.lax.with_sharding_constraint(
-                    frames, NamedSharding(mesh, out_spec))
+                    fn(*streams), NamedSharding(mesh, out_spec))
 
             self._expand_cache[key] = expand
         return self._expand_cache[key]
