@@ -355,6 +355,7 @@ def bench_link(mb: int = 13, reps: int = 3) -> dict:
     tunnel swings 20-40 MB/s day to day, and the sparse transports are
     link-bound — sustained fps tracks bytes/frame x this number)."""
     import jax
+    import numpy as np
 
     x = np.random.default_rng(0).integers(
         0, 255, size=(mb * 1024 * 1024,), dtype=np.uint8)
