@@ -53,6 +53,7 @@ def test_saddle_response_peaks_at_corners():
     assert min(at) > 0.3 * max(at)
 
 
+@pytest.mark.slow
 def test_find_chessboard_full(tolerance=0.15):
     img, truth = render_chessboard()
     res = find_chessboard(img, (7, 7))
@@ -99,6 +100,7 @@ def test_otsu_threshold_separates_modes():
     assert 40 < t < 205
 
 
+@pytest.mark.slow
 def test_measure_diameters_accuracy():
     r = 14.0
     img = _disk_image(r_px=r)

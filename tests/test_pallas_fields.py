@@ -128,6 +128,7 @@ def test_tiled_fields_bit_match_whole_frame(rows):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
 
 
+@pytest.mark.slow  # high-res interpret-mode parity: minutes-scale on 1-core CI
 def test_tiled_fields_auto_selected_above_vmem_gate():
     """Frames past 960x1280 (VERDICT round 2, weak 6: 1080p) must route
     through the tiled kernel automatically and still match the XLA ops
@@ -191,6 +192,7 @@ def test_pick_rows_mosaic_cell_alignment(h, w):
     assert hp % rows == 0
 
 
+@pytest.mark.slow  # high-res interpret-mode parity: minutes-scale on 1-core CI
 def test_tiled_fields_1080p_geometry_bit_match():
     """The exact 1080p geometry (the failure case above) through the tiled
     kernel in interpret mode: parity vs the XLA ops, padded rows must not
