@@ -103,9 +103,9 @@ def load_jpeg_lib():
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_int8),
-                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint16),
                     ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
-                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint16),
                     ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
                     ctypes.POINTER(ctypes.c_int32),

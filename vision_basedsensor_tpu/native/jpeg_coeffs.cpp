@@ -402,10 +402,13 @@ struct SplitSink {
   int64_t ac_cap, ac_n = 0;
   int8_t* dc;      // exactly n * blocks_per_frame, cursor dc_n
   int64_t dc_n = 0;
-  uint8_t* sgaps;  // AC spill
+  // Spill gaps are uint16: spills are sparse (mean gap ~100+ positions),
+  // so uint8 gaps spent ~half the spill stream on (255, 0) fillers —
+  // 4 bytes per real spill beats 3 bytes per (real + filler) entry.
+  uint16_t* sgaps;  // AC spill
   int16_t* sdeltas;
   int64_t scap, sn = 0;
-  uint8_t* dgaps;  // DC spill
+  uint16_t* dgaps;  // DC spill
   int16_t* ddeltas;
   int64_t dcap, dn = 0;
   int64_t prev_ac = -1, sprev = -1, dprev = -1;
@@ -421,15 +424,15 @@ struct SplitSink {
     dc[dc_n++] = static_cast<int8_t>(c);
     if (d != c) {
       int64_t g = gblock - dprev;
-      while (g > 255) {
+      while (g > 65535) {
         if (dn >= dcap) return kErrDcSpillCap;
-        dgaps[dn] = 255;
+        dgaps[dn] = 65535;
         ddeltas[dn] = 0;
         ++dn;
-        g -= 255;
+        g -= 65535;
       }
       if (dn >= dcap) return kErrDcSpillCap;
-      dgaps[dn] = static_cast<uint8_t>(g);
+      dgaps[dn] = static_cast<uint16_t>(g);
       ddeltas[dn] = static_cast<int16_t>(d - c);
       ++dn;
       dprev = gblock;
@@ -461,15 +464,15 @@ struct SplitSink {
       prev_ac = pos;
       if (v != cv) {
         int64_t sg = pos - sprev;
-        while (sg > 255) {
+        while (sg > 65535) {
           if (sn >= scap) return kErrAcSpillCap;
-          sgaps[sn] = 255;
+          sgaps[sn] = 65535;
           sdeltas[sn] = 0;
           ++sn;
-          sg -= 255;
+          sg -= 65535;
         }
         if (sn >= scap) return kErrAcSpillCap;
-        sgaps[sn] = static_cast<uint8_t>(sg);
+        sgaps[sn] = static_cast<uint16_t>(sg);
         sdeltas[sn] = static_cast<int16_t>(v - cv);
         ++sn;
         sprev = pos;
@@ -954,8 +957,8 @@ int vbs_mjpeg_batch_y_coeffs_delta_mt(
 //
 //   out_ac      : uint8[ac_cap] AC entry bytes (gap-1 | value<<3, escapes)
 //   out_dc      : int8[n * blocks_per_frame] per-block DC deltas (dense)
-//   out_sgaps/out_sdeltas : AC spill stream (gaps over AC positions)
-//   out_dgaps/out_ddeltas : DC spill stream (gaps over block indices)
+//   out_sgaps/out_sdeltas : AC spill stream (uint16 gaps over AC positions)
+//   out_dgaps/out_ddeltas : DC spill stream (uint16 gaps over block indices)
 //   out_counts  : int64[3] = {ac bytes, AC spills, DC spills}
 //
 // Returns n on success; a frame index 0 <= i < n at the first parse error
@@ -965,8 +968,8 @@ int vbs_mjpeg_batch_y_coeffs_delta_mt(
 // multi-core host ever bottlenecks here; the 1-core driver host doesn't.
 int vbs_mjpeg_batch_y_coeffs_split(
     const uint8_t* data, const int64_t* offsets, const int32_t* sizes, int n,
-    uint8_t* out_ac, int64_t ac_cap, int8_t* out_dc, uint8_t* out_sgaps,
-    int16_t* out_sdeltas, int64_t scap, uint8_t* out_dgaps,
+    uint8_t* out_ac, int64_t ac_cap, int8_t* out_dc, uint16_t* out_sgaps,
+    int16_t* out_sdeltas, int64_t scap, uint16_t* out_dgaps,
     int16_t* out_ddeltas, int64_t dcap, int64_t* out_counts,
     int blocks_per_frame, int* out_meta, uint16_t* out_qtable) {
   int meta[4];

@@ -243,10 +243,12 @@ def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
         positions) so implied positions overrun and drop.
       dc: ``(B*blocks,)`` int8 per-block DC deltas (vs the previous block,
         first block of each frame vs 0) — dense, no padding.
-      sgaps/sdeltas: AC spill stream (uint8 gaps over AC positions / int16
-        remainders for |v| > 15); tail padding (255, 0).
-      dgaps/ddeltas: DC spill stream (uint8 gaps over block indices / int16
-        remainders for |delta| > 127); tail padding (255, 0).
+      sgaps/sdeltas: AC spill stream (uint16 gaps over AC positions /
+        int16 remainders for |v| > 15); tail padding (65535, 0). Spills
+        are sparse, so 16-bit gaps avoid the ~50% filler overhead uint8
+        gaps paid.
+      dgaps/ddeltas: DC spill stream (uint16 gaps over block indices /
+        int16 remainders for |delta| > 127); tail padding (65535, 0).
       qtable: ``(B, 64)`` per-frame quantization tables, natural order.
       height/width: true image dims; grid: ``(bh, bw)`` block grid.
 
@@ -644,20 +646,22 @@ class MjpegBatchDecoder:
                 if self._ac is None or self._ac.size < self._accap:
                     self._ac = np.empty(self._accap, np.uint8)
                 if self._asg is None or self._asg.size < self._ascap:
-                    self._asg = np.empty(self._ascap, np.uint8)
+                    self._asg = np.empty(self._ascap, np.uint16)
                     self._asd = np.empty(self._ascap, np.int16)
                 if self._dsg is None or self._dsg.size < self._dscap:
-                    self._dsg = np.empty(self._dscap, np.uint8)
+                    self._dsg = np.empty(self._dscap, np.uint16)
                     self._dsd = np.empty(self._dscap, np.int16)
                 got = self._lib.vbs_mjpeg_batch_y_coeffs_split(
                     *args,
                     self._ac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     self._accap,
                     self._dc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-                    self._asg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self._asg.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint16)),
                     self._asd.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                     self._ascap,
-                    self._dsg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    self._dsg.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint16)),
                     self._dsd.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                     self._dscap,
                     counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -685,10 +689,10 @@ class MjpegBatchDecoder:
         d_b = min(_bucket(d_n), self._dsg.size)
         # Tail padding overrun guards (see entropy_decode_packed): AC pad
         # bytes are 0x87 escapes advancing 504 positions each; spill pads
-        # advance 255.
+        # advance 65535.
         if (n * blocks * 63 + 504 * (a_b - a_n) >= 2 ** 31
-                or n * blocks * 63 + 255 * (s_b - s_n) >= 2 ** 31
-                or n * blocks + 255 * (d_b - d_n) >= 2 ** 31):
+                or n * blocks * 63 + 65535 * (s_b - s_n) >= 2 ** 31
+                or n * blocks + 65535 * (d_b - d_n) >= 2 ** 31):
             raise ValueError(
                 "split transport: tail-pad positions would exceed the "
                 "int32 position space; split the batch")
@@ -697,15 +701,15 @@ class MjpegBatchDecoder:
         dc = self._dc[:n * blocks].copy()
         sgaps = self._asg[:s_b].copy()
         sdeltas = self._asd[:s_b].copy()
-        sgaps[s_n:] = 255
+        sgaps[s_n:] = 65535
         sdeltas[s_n:] = 0
         dgaps = self._dsg[:d_b].copy()
         ddeltas = self._dsd[:d_b].copy()
-        dgaps[d_n:] = 255
+        dgaps[d_n:] = 65535
         ddeltas[d_n:] = 0
         stats = {
             "transport": "split", "frames": n, "nnz": a_n,
-            "bytes_shipped": (a_b + n * blocks + 3 * s_b + 3 * d_b
+            "bytes_shipped": (a_b + n * blocks + 4 * s_b + 4 * d_b
                               + qtables.nbytes),
             "bytes_dense": n * blocks * 128 + qtables.nbytes,
         }

@@ -103,11 +103,11 @@ class ShardedPackedFeed:
                 put(np.stack([_pad_stream(s.ac, a_cap, 0x87)
                               for s in shards])),
                 put(np.stack([s.dc for s in shards])),
-                put(np.stack([_pad_stream(s.sgaps, s_cap, 255)
+                put(np.stack([_pad_stream(s.sgaps, s_cap, 65535)
                               for s in shards])),
                 put(np.stack([_pad_stream(s.sdeltas, s_cap, 0)
                               for s in shards])),
-                put(np.stack([_pad_stream(s.dgaps, d_cap, 255)
+                put(np.stack([_pad_stream(s.dgaps, d_cap, 65535)
                               for s in shards])),
                 put(np.stack([_pad_stream(s.ddeltas, d_cap, 0)
                               for s in shards])),
