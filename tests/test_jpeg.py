@@ -55,8 +55,12 @@ def test_decode_color_jpeg_luma(tmp_path):
     assert np.abs(out - ref).max() <= 2.0
 
 
-def test_restart_markers():
-    """DRI/RSTn streams (some cameras emit them) decode correctly."""
+@pytest.mark.parametrize("method", ["decode", "decode_packed",
+                                    "decode_split"])
+def test_restart_markers(method):
+    """DRI/RSTn streams (some cameras emit them) decode correctly through
+    every transport — restarts reset the DC prediction mid-scan, which the
+    split transport's own per-frame DC delta chain must reproduce."""
     _lib_or_skip()
     from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
     img = _textured(64, 96, seed=5)
@@ -65,7 +69,7 @@ def test_restart_markers():
     jpeg = enc.tobytes()
     assert b"\xff\xdd" in jpeg[:1000]  # DRI present
     ref = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE).astype(np.float32)
-    out = np.asarray(MjpegBatchDecoder().decode([jpeg]))[0]
+    out = np.asarray(getattr(MjpegBatchDecoder(), method)([jpeg]))[0]
     assert np.abs(out - ref).max() <= 2.0
 
 

@@ -137,3 +137,29 @@ def test_combined_rig_conditions_tilt_recovery(scene):
     assert np.asarray(ok).sum() >= 60
     res = analyze_deviation(dev, ok, AnalysisConfig())
     assert abs(float(res.tilt_deg) - 15.0) < 0.75, float(res.tilt_deg)
+
+
+# measured (decode_split end to end): q20 max 1.22 / q30 0.99 / q50 0.72 /
+# q70 0.41 / q90 0.05 px — JPEG blocking is the dominant real-stream error
+# source below q50; the camera's q~70 stream keeps the detector sub-half-px
+# and q90 recovers the clean-scene 0.02 px regime.
+@pytest.mark.parametrize("quality,tol_px", [(20, 1.8), (30, 1.5), (50, 1.1),
+                                            (70, 0.65), (90, 0.1)])
+def test_jpeg_quality_envelope(clean, truth, quality, tol_px):
+    """End-to-end through the production transport: clean frame -> JPEG at
+    the given quality -> native entropy decode -> split transport -> device
+    IDCT -> detector. All 65 markers must survive and the centroid error
+    stay inside the measured envelope x safety margin."""
+    cv2 = pytest.importorskip("cv2")
+    from vision_basedsensor_tpu.native import load_jpeg_lib
+    if load_jpeg_lib() is None:
+        pytest.skip("no C++ compiler for the native JPEG decoder")
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+
+    img = np.asarray(clean)[0].astype(np.uint8)
+    enc = cv2.imencode(".jpg", img,
+                       [cv2.IMWRITE_JPEG_QUALITY, quality])[1].tobytes()
+    frames = MjpegBatchDecoder().decode_split([enc])
+    n, errs = _centroid_errors(frames, truth)
+    assert n == layout.NUM_MARKERS
+    assert errs.max() < tol_px, f"max {errs.max():.4f} px at q{quality}"
