@@ -137,9 +137,12 @@ def test_packed_transport_matches_dense(quality, shape):
         assert stats["bytes_shipped"] < stats["bytes_dense"]
 
 
-def test_packed_transport_color_420():
+@pytest.mark.parametrize("method", ["decode_packed", "decode_split"])
+def test_sparse_transport_color_420(method):
     """4:2:0 color JPEGs exercise the MCU-row staging (two block rows per
-    MCU row must be re-emitted in flat row-major order)."""
+    MCU row must be re-emitted in flat row-major order) — for the split
+    transport that order is also what keeps its DC delta chain and zigzag
+    AC positions strictly increasing."""
     _lib_or_skip()
     from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
     gray = _textured(120, 160, seed=7)
@@ -147,8 +150,8 @@ def test_packed_transport_color_420():
     ok, enc = cv2.imencode(".jpg", color, [cv2.IMWRITE_JPEG_QUALITY, 70])
     ref = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE).astype(np.float32)
     dec = MjpegBatchDecoder()
-    packed = np.asarray(dec.decode_packed([enc.tobytes()]))[0]
-    assert np.abs(packed - ref).max() <= 2.0
+    out = np.asarray(getattr(dec, method)([enc.tobytes()]))[0]
+    assert np.abs(out - ref).max() <= 2.0
 
 
 def test_packed_capacity_growth():
@@ -242,7 +245,7 @@ def test_progressive_jpeg_rejected_cleanly():
     b = io.BytesIO()
     Image.fromarray(img).save(b, format="JPEG", progressive=True, quality=70)
     j = b.getvalue()
-    for method in ("decode", "decode_packed"):
+    for method in ("decode", "decode_packed", "decode_split"):
         with pytest.raises(ValueError, match="JPEG parse failed"):
             getattr(MjpegBatchDecoder(), method)([j])
 
@@ -276,7 +279,12 @@ def test_native_decoder_survives_malformed_bytes():
             j = (j[:pos] + bytes(rng.integers(0, 256, 32, dtype=np.uint8))
                  + j[pos:])
         try:
-            np.asarray(dec.decode_packed([bytes(j)]))
+            # Alternate transports: split's sink (DC chain + escapes +
+            # three capacity paths) is its own attack surface.
+            if trial % 2:
+                np.asarray(dec.decode_split([bytes(j)]))
+            else:
+                np.asarray(dec.decode_packed([bytes(j)]))
         except ValueError:
             pass
 
