@@ -484,3 +484,42 @@ def test_split_error_protocol():
     dec.decode_split(good)  # learn geometry
     with pytest.raises(ValueError, match="frame 2"):
         dec.decode_split(good[:2] + [good[3][:40]] + good[3:])
+
+
+@pytest.mark.parametrize("workers", [2, 3, 7])
+def test_multithreaded_split_matches_serial(workers):
+    """The MT split decode must reproduce the serial stream's SEMANTICS:
+    identical dense coefficients after expansion (bridge-byte placement at
+    slice joins may differ), hence bitwise-identical frames. Includes a
+    uniform frame (no ACs — exercises empty-slice bridging over whole
+    frames) and a high-contrast frame (AC + DC spill traffic)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    jpegs = []
+    for seed in range(9):
+        if seed == 3:
+            img = np.full((120, 160), 128, np.uint8)
+        elif seed == 5:
+            img = (_textured(120, 160, seed=seed) > 127).astype(np.uint8) * 255
+        else:
+            img = _textured(120, 160, seed=seed)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 70])
+        assert ok
+        jpegs.append(enc.tobytes())
+
+    serial = np.asarray(MjpegBatchDecoder(workers=1).decode_split(jpegs))
+    mt = np.asarray(MjpegBatchDecoder(workers=workers).decode_split(jpegs))
+    assert (serial == mt).all()
+
+
+def test_multithreaded_split_error_protocol():
+    """MT split failure protocol matches serial: index of first bad frame."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    good = [cv2.imencode(".jpg", _textured(120, 160, seed=s),
+                         [cv2.IMWRITE_JPEG_QUALITY, 70])[1].tobytes()
+            for s in range(6)]
+    dec = MjpegBatchDecoder(workers=3)
+    dec.decode_split(good)  # learn geometry
+    with pytest.raises(ValueError, match="frame 4"):
+        dec.decode_split(good[:4] + [good[4][:40]] + good[5:])

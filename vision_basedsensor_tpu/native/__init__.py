@@ -111,6 +111,10 @@ def load_jpeg_lib():
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_uint16),
                 ]
+                lib.vbs_mjpeg_batch_y_coeffs_split_mt.restype = ctypes.c_int
+                lib.vbs_mjpeg_batch_y_coeffs_split_mt.argtypes = (
+                    lib.vbs_mjpeg_batch_y_coeffs_split.argtypes
+                    + [ctypes.c_int])
         except Exception as e:  # pragma: no cover
             print(f"[native] jpeg lib unavailable: {e}", file=sys.stderr)
             lib = None

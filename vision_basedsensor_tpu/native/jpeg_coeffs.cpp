@@ -482,6 +482,82 @@ struct SplitSink {
   }
 };
 
+// SPLIT layout into growable thread-local vectors (multithreaded batch
+// path): same encoding as SplitSink, but AC/spill capacity never fails —
+// each worker owns its stream buffers and the main thread stitches slices
+// afterwards. DC deltas write DIRECTLY into the caller's dense buffer:
+// slices own disjoint [a*blocks, b*blocks) ranges and the per-frame
+// prediction reset makes the stream position-independent — nothing to
+// stitch.
+struct SplitVecSink {
+  static constexpr bool kZigzagOrder = true;
+  std::vector<uint8_t> ac;
+  int8_t* dc;  // caller's out_dc + a*blocks_per_frame (disjoint slice)
+  int64_t dc_n = 0;
+  std::vector<uint16_t> sgaps;
+  std::vector<int16_t> sdeltas;
+  std::vector<uint16_t> dgaps;
+  std::vector<int16_t> ddeltas;
+  int64_t prev_ac = -1, sprev = -1, dprev = -1;
+  int32_t pred_dc = 0;
+  int64_t frame_block_base = 0;
+
+  inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
+    const int64_t gblock = frame_block_base + block;
+    const int32_t dcv = (mask & 1) ? scratch[0] : 0;
+    const int32_t d = dcv - pred_dc;
+    pred_dc = dcv;
+    const int32_t c = d > 127 ? 127 : (d < -127 ? -127 : d);
+    dc[dc_n++] = static_cast<int8_t>(c);
+    if (d != c) {
+      int64_t g = gblock - dprev;
+      while (g > 65535) {
+        dgaps.push_back(65535);
+        ddeltas.push_back(0);
+        g -= 65535;
+      }
+      dgaps.push_back(static_cast<uint16_t>(g));
+      ddeltas.push_back(static_cast<int16_t>(d - c));
+      dprev = gblock;
+    }
+    uint64_t m = mask & ~1ull;
+    const int64_t base = gblock * 63 - 1;
+    while (m) {
+      const int j = __builtin_ctzll(m);
+      m &= m - 1;
+      const int64_t pos = base + j;
+      int64_t gap = pos - prev_ac;
+      while (gap - 1 >= 63) {
+        int64_t k = (gap - 1) / 63;
+        if (k > 8) k = 8;
+        ac.push_back(static_cast<uint8_t>((k - 1) | 0x80));
+        gap -= k * 63;
+      }
+      while (gap > 8) {
+        ac.push_back(7);
+        gap -= 8;
+      }
+      const int16_t v = scratch[j];
+      const int16_t cv = v > 15 ? 15 : (v < -15 ? -15 : v);
+      ac.push_back(
+          static_cast<uint8_t>((gap - 1) | ((static_cast<int>(cv) & 31) << 3)));
+      prev_ac = pos;
+      if (v != cv) {
+        int64_t sg = pos - sprev;
+        while (sg > 65535) {
+          sgaps.push_back(65535);
+          sdeltas.push_back(0);
+          sg -= 65535;
+        }
+        sgaps.push_back(static_cast<uint16_t>(sg));
+        sdeltas.push_back(static_cast<int16_t>(v - cv));
+        sprev = pos;
+      }
+    }
+    return 0;
+  }
+};
+
 // Decode the Y-component DCT coefficients of one baseline JPEG into `sink`.
 // Blocks are emitted in flat row-major order regardless of the MCU
 // interleave (4:2:0 decodes two block rows per MCU row): each MCU row is
@@ -964,8 +1040,7 @@ int vbs_mjpeg_batch_y_coeffs_delta_mt(
 // Returns n on success; a frame index 0 <= i < n at the first parse error
 // or geometry mismatch; kErrAcCap/kErrAcSpillCap/kErrDcSpillCap
 // (-104/-105/-106) when a stream capacity is exceeded (retry larger).
-// Multithreaded slicing (see the _delta_mt stitcher) ports directly if a
-// multi-core host ever bottlenecks here; the 1-core driver host doesn't.
+// Multi-core hosts use the _split_mt variant below.
 int vbs_mjpeg_batch_y_coeffs_split(
     const uint8_t* data, const int64_t* offsets, const int32_t* sizes, int n,
     uint8_t* out_ac, int64_t ac_cap, int8_t* out_dc, uint16_t* out_sgaps,
@@ -995,6 +1070,182 @@ int vbs_mjpeg_batch_y_coeffs_split(
   out_counts[0] = sink.ac_n;
   out_counts[1] = sink.sn;
   out_counts[2] = sink.dn;
+  return n;
+}
+
+// Multithreaded SPLIT batch variant (see the _delta_mt stitcher for the
+// slicing model). Frames are independent, so the batch splits into
+// contiguous frame slices decoded on worker threads. Stitching is SIMPLER
+// than delta's:
+//  * DC deltas are position-independent (per-frame prediction reset), so
+//    workers write their disjoint dense ranges directly — no stitching.
+//  * AC byte slices are kept VERBATIM: a slice encodes its first gap
+//    relative to its base position (a*blocks*63 - 1), so the main thread
+//    only emits BRIDGE bytes (escapes + zero-value fillers) advancing from
+//    the previous slice's last position exactly to that base, then memcpys
+//    the slice. Bridge fillers land value-0 entries on true-zero slots of
+//    the pre-zeroed target — harmless by construction.
+//  * Spill slices re-base their FIRST gap (positions are cumulative),
+//    with (65535, 0) fillers for any excess — the in-stream long-run rule.
+// Output is semantically identical to the serial variant (same positions,
+// values, spills; bridge-filler placement differs at slice joins).
+//
+// Same return protocol as the serial variant; n_threads <= 1 or tiny
+// batches short-circuit to it.
+int vbs_mjpeg_batch_y_coeffs_split_mt(
+    const uint8_t* data, const int64_t* offsets, const int32_t* sizes, int n,
+    uint8_t* out_ac, int64_t ac_cap, int8_t* out_dc, uint16_t* out_sgaps,
+    int16_t* out_sdeltas, int64_t scap, uint16_t* out_dgaps,
+    int16_t* out_ddeltas, int64_t dcap, int64_t* out_counts,
+    int blocks_per_frame, int* out_meta, uint16_t* out_qtable,
+    int n_threads) {
+  if (n_threads > n - 1) n_threads = n - 1;
+  if (n_threads > 64) n_threads = 64;
+  if (n_threads <= 1 || n < 4)
+    return vbs_mjpeg_batch_y_coeffs_split(data, offsets, sizes, n, out_ac,
+                                          ac_cap, out_dc, out_sgaps,
+                                          out_sdeltas, scap, out_dgaps,
+                                          out_ddeltas, dcap, out_counts,
+                                          blocks_per_frame, out_meta,
+                                          out_qtable);
+
+  // Frame 0 decodes serially into the caller's buffers: it establishes the
+  // geometry contract the workers validate against.
+  SplitSink sink{out_ac,    ac_cap,      0, out_dc,   0,
+                 out_sgaps, out_sdeltas, scap, 0,     out_dgaps,
+                 out_ddeltas, dcap,      0};
+  {
+    std::vector<int16_t> stage;
+    std::vector<uint64_t> stage_mask;
+    sink.frame_block_base = 0;
+    sink.pred_dc = 0;
+    const int rc = decode_y(data + offsets[0], sizes[0], sink,
+                            blocks_per_frame, out_meta, out_qtable, &stage,
+                            &stage_mask);
+    if (rc == kErrAcCap || rc == kErrAcSpillCap || rc == kErrDcSpillCap)
+      return rc;
+    if (rc != 0) return 0;
+  }
+
+  struct Slice {
+    int a = 0, b = 0;  // global frame range [a, b)
+    SplitVecSink sink;
+    int fail = -1;
+  };
+  std::vector<Slice> slices(n_threads);
+  const int rest = n - 1;
+  for (int t = 0; t < n_threads; ++t) {
+    slices[t].a = 1 + static_cast<int>(static_cast<int64_t>(rest) * t /
+                                       n_threads);
+    slices[t].b = 1 + static_cast<int>(static_cast<int64_t>(rest) * (t + 1) /
+                                       n_threads);
+  }
+
+  const int64_t bpf = blocks_per_frame;
+  std::vector<std::thread> workers;
+  workers.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) {
+    Slice* s = &slices[t];
+    workers.emplace_back([=]() {
+      int meta_l[4];
+      std::vector<int16_t> stage;
+      std::vector<uint64_t> stage_mask;
+      s->sink.dc = out_dc + static_cast<int64_t>(s->a) * bpf;
+      s->sink.prev_ac = static_cast<int64_t>(s->a) * bpf * 63 - 1;
+      s->sink.sprev = s->sink.prev_ac;
+      s->sink.dprev = static_cast<int64_t>(s->a) * bpf - 1;
+      s->sink.ac.reserve(static_cast<size_t>(s->b - s->a) * bpf * 5);
+      for (int i = s->a; i < s->b; ++i) {
+        s->sink.frame_block_base = static_cast<int64_t>(i) * bpf;
+        s->sink.pred_dc = 0;
+        const int rc = decode_y(data + offsets[i], sizes[i], s->sink, bpf,
+                                meta_l,
+                                out_qtable + static_cast<size_t>(i) * 64,
+                                &stage, &stage_mask);
+        if (rc != 0 || meta_l[0] != out_meta[0] || meta_l[1] != out_meta[1] ||
+            meta_l[2] != out_meta[2] || meta_l[3] != out_meta[3]) {
+          s->fail = i;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  for (const auto& s : slices)
+    if (s.fail >= 0) return s.fail;  // slices are ordered: first failure
+
+  int64_t ac_n = sink.ac_n, sn = sink.sn, dn = sink.dn;
+  int64_t prev_ac = sink.prev_ac, sprev = sink.sprev, dprev = sink.dprev;
+  for (auto& s : slices) {
+    const int64_t base_ac = static_cast<int64_t>(s.a) * bpf * 63 - 1;
+    if (!s.sink.ac.empty()) {
+      int64_t bridge = base_ac - prev_ac;  // >= 0
+      while (bridge >= 63) {
+        int64_t k = bridge / 63;
+        if (k > 8) k = 8;
+        if (ac_n >= ac_cap) return kErrAcCap;
+        out_ac[ac_n++] = static_cast<uint8_t>((k - 1) | 0x80);
+        bridge -= k * 63;
+      }
+      while (bridge > 0) {
+        const int64_t g = bridge > 8 ? 8 : bridge;
+        if (ac_n >= ac_cap) return kErrAcCap;
+        out_ac[ac_n++] = static_cast<uint8_t>(g - 1);  // value 0
+        bridge -= g;
+      }
+      if (ac_n + static_cast<int64_t>(s.sink.ac.size()) > ac_cap)
+        return kErrAcCap;
+      std::memcpy(out_ac + ac_n, s.sink.ac.data(), s.sink.ac.size());
+      ac_n += static_cast<int64_t>(s.sink.ac.size());
+      prev_ac = s.sink.prev_ac;
+    }
+    if (!s.sink.sgaps.empty()) {
+      int64_t g = static_cast<int64_t>(s.sink.sgaps[0]) + (base_ac - sprev);
+      while (g > 65535) {
+        if (sn >= scap) return kErrAcSpillCap;
+        out_sgaps[sn] = 65535;
+        out_sdeltas[sn] = 0;
+        ++sn;
+        g -= 65535;
+      }
+      const int64_t cnt = static_cast<int64_t>(s.sink.sgaps.size());
+      if (sn + cnt > scap) return kErrAcSpillCap;
+      out_sgaps[sn] = static_cast<uint16_t>(g);
+      out_sdeltas[sn] = s.sink.sdeltas[0];
+      ++sn;
+      std::memcpy(out_sgaps + sn, s.sink.sgaps.data() + 1,
+                  (cnt - 1) * sizeof(uint16_t));
+      std::memcpy(out_sdeltas + sn, s.sink.sdeltas.data() + 1,
+                  (cnt - 1) * sizeof(int16_t));
+      sn += cnt - 1;
+      sprev = s.sink.sprev;
+    }
+    if (!s.sink.dgaps.empty()) {
+      const int64_t base_dc = static_cast<int64_t>(s.a) * bpf - 1;
+      int64_t g = static_cast<int64_t>(s.sink.dgaps[0]) + (base_dc - dprev);
+      while (g > 65535) {
+        if (dn >= dcap) return kErrDcSpillCap;
+        out_dgaps[dn] = 65535;
+        out_ddeltas[dn] = 0;
+        ++dn;
+        g -= 65535;
+      }
+      const int64_t cnt = static_cast<int64_t>(s.sink.dgaps.size());
+      if (dn + cnt > dcap) return kErrDcSpillCap;
+      out_dgaps[dn] = static_cast<uint16_t>(g);
+      out_ddeltas[dn] = s.sink.ddeltas[0];
+      ++dn;
+      std::memcpy(out_dgaps + dn, s.sink.dgaps.data() + 1,
+                  (cnt - 1) * sizeof(uint16_t));
+      std::memcpy(out_ddeltas + dn, s.sink.ddeltas.data() + 1,
+                  (cnt - 1) * sizeof(int16_t));
+      dn += cnt - 1;
+      dprev = s.sink.dprev;
+    }
+  }
+  out_counts[0] = ac_n;
+  out_counts[1] = sn;
+  out_counts[2] = dn;
   return n;
 }
 

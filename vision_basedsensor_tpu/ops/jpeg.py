@@ -651,7 +651,7 @@ class MjpegBatchDecoder:
                 if self._dsg is None or self._dsg.size < self._dscap:
                     self._dsg = np.empty(self._dscap, np.uint16)
                     self._dsd = np.empty(self._dscap, np.int16)
-                got = self._lib.vbs_mjpeg_batch_y_coeffs_split(
+                call_args = (
                     *args,
                     self._ac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     self._accap,
@@ -667,6 +667,11 @@ class MjpegBatchDecoder:
                     counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                     blocks, meta,
                     qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+                if self._workers > 1:
+                    got = self._lib.vbs_mjpeg_batch_y_coeffs_split_mt(
+                        *call_args, self._workers)
+                else:
+                    got = self._lib.vbs_mjpeg_batch_y_coeffs_split(*call_args)
                 if got == n:
                     break
                 if got == _RC_AC_CAP:
