@@ -6,7 +6,7 @@ everything after — dequantization, the 8x8 inverse DCT, level shift, block
 reassembly — is dense linear algebra -> batched XLA ops here (the IDCT is two
 8x8 matmuls per block, which XLA maps onto the MXU).
 
-Two transports feed the device:
+Three transports feed the device:
 
 * DENSE: the full ``(B, bh, bw, 64)`` int16 coefficient tensor. Simple, but
   614 KB/frame at 640x480 — 2x the raw gray bytes, so a bandwidth-limited
@@ -17,11 +17,20 @@ Two transports feed the device:
   fillers; the rare |v| > 127 ride an int16 spill side stream), ~3 bytes
   per nonzero = ~40-60 KB/frame on real streams. The device reconstructs
   positions with ONE cumsum and materializes the dense tensor with ONE
-  sorted-unique scatter (+ the tiny spill add). Measured on the v5e: the
-  sorted scatter runs ~0.13 ms per 256-frame batch, while the previous
-  bitmask format's gather-expansion (one gather per OUTPUT element, 78M
-  per batch) serialized at ~1 s/batch — on TPU, expansion work must scale
-  with the NONZEROS, not the dense size.
+  sorted-unique scatter (+ the tiny spill add) — on TPU, expansion work
+  must scale with the NONZEROS, not the dense size (the earlier bitmask
+  format's per-output-element gather served ~1 s/batch vs the scatter's
+  ~35 ms).
+* SPLIT (default, round 4): PACKED's pairs still waste bytes on both entry
+  classes — block DCs (~25% of nonzeros) are large values needing no gap,
+  ACs have tiny zigzag run-lengths and small values. DCs ride a dense int8
+  per-block DELTA lane (device rebuilds by one per-frame cumsum — no
+  scatter at all); ACs ride ONE byte each in ZIGZAG order (3-bit gap,
+  5-bit value; an escape code skips whole empty blocks), the inverse
+  zigzag permutation folded into the IDCT basis matrix for free. uint16-gap
+  int16 spill side streams carry the clamps. ~33 KB/frame on the bench
+  stream, 27.5 at q70 — the fewest link bytes of the three, which is the
+  whole game on a link-bound attachment (benchmarks/README.md).
 
 This is the framework's answer to the host-decode ingest wall
 (benchmarks/README.md): on a 1-core driver host, full libjpeg decode
