@@ -303,12 +303,13 @@ def bench_latency(batches=(1, 8, 32), iters: int = 50) -> dict:
 
 def bench_latency_packed(iters: int = 50) -> dict | None:
     """B=1 serving latency on the LIVE-STREAM transport: JPEG bytes (as the
-    MJPEG stream delivers them) -> native entropy decode -> packed sparse
-    coefficients over the link -> on-device expand + IDCT -> full pipeline
-    -> tilt on host. On a bandwidth-limited host->device link this ships
-    ~25-70 KB instead of 307 KB/frame; pair with bench_latency's b1 row to
-    see which side of the link bound a deployment sits on. None when cv2
-    (JPEG encode for the fixture) or the native decoder is unavailable.
+    MJPEG stream delivers them) -> native entropy decode -> SPLIT sparse
+    streams over the link (the shipping default transport) -> on-device
+    expand + IDCT -> full pipeline -> tilt on host. On a bandwidth-limited
+    host->device link this ships ~25-35 KB instead of 307 KB/frame; pair
+    with bench_latency's b1 row to see which side of the link bound a
+    deployment sits on. None when cv2 (JPEG encode for the fixture) or the
+    native decoder is unavailable.
     """
     import numpy as np
 
@@ -337,11 +338,11 @@ def bench_latency_packed(iters: int = 50) -> dict | None:
         return out.contact.tilt_deg[-1]
 
     # Warm both jits (expand buckets + pipeline) on the first frame.
-    float(np.asarray(step(dec.decode_packed([jpegs[0]]), ref)))
+    float(np.asarray(step(dec.decode_split([jpegs[0]]), ref)))
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        dev = dec.decode_packed([jpegs[i + 1]])  # distinct frame each iter
+        dev = dec.decode_split([jpegs[i + 1]])  # distinct frame each iter
         float(np.asarray(step(dev, ref)))
         times.append(time.perf_counter() - t0)
     times.sort()
@@ -445,9 +446,9 @@ def main() -> None:
         try:
             lat_packed = bench_latency_packed()
             if lat_packed is not None:
-                lat["b1_jpeg_packed"] = lat_packed
+                lat["b1_jpeg_split"] = lat_packed
         except Exception as e:  # noqa: BLE001
-            lat["b1_jpeg_packed"] = {"error": str(e)[:300]}
+            lat["b1_jpeg_split"] = {"error": str(e)[:300]}
         _emit({
             "metric": "serving_latency_ms",
             "value": lat["b1"]["p50_ms"],
