@@ -206,7 +206,11 @@ def delta_idct_frames(gaps: jnp.ndarray, vals: jnp.ndarray,
         implied positions keep growing past the tensor and drop.
       vals: ``(cap,)`` int8 clamped coefficients (pairs with ``gaps``).
       sgaps/sdeltas: the spill side stream (uint8 gaps / int16 remainders)
-        for coefficients outside [-127, 127], same conventions.
+        for coefficients outside [-127, 127], same conventions EXCEPT tail
+        padding, which is (gap=0, delta=0): spills are ADDS, so a zero add
+        is a no-op wherever it lands (even wrapped to -1 when a stream has
+        no real spills) — unlike escape-style pads, zero-gap pads cannot
+        overrun the int32 position space no matter how many there are.
       qtable: ``(B, 64)`` per-frame quantization tables, natural order.
       height/width: true image dims; grid: ``(bh, bw)`` block grid.
 
@@ -228,7 +232,10 @@ def delta_idct_frames(gaps: jnp.ndarray, vals: jnp.ndarray,
         vals.astype(jnp.int16), mode="drop", unique_indices=True,
         indices_are_sorted=True)
     spos = jnp.cumsum(sgaps.astype(jnp.int32)) - 1
-    flat = flat.at[spos].add(sdeltas, mode="drop", unique_indices=True,
+    # unique_indices=False: the (gap=0, delta=0) tail pads repeat the last
+    # real position (zero adds are no-ops, so correctness is unaffected, but
+    # claiming uniqueness on duplicates would be UB).
+    flat = flat.at[spos].add(sdeltas, mode="drop", unique_indices=False,
                              indices_are_sorted=True)
     return _dequant_idct(flat.reshape(b, bh, bw, 64).astype(jnp.float32),
                          qtable, height, width)
@@ -253,11 +260,13 @@ def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
       dc: ``(B*blocks,)`` int8 per-block DC deltas (vs the previous block,
         first block of each frame vs 0) — dense, no padding.
       sgaps/sdeltas: AC spill stream (uint16 gaps over AC positions /
-        int16 remainders for |v| > 15); tail padding (65535, 0). Spills
-        are sparse, so 16-bit gaps avoid the ~50% filler overhead uint8
-        gaps paid.
+        int16 remainders for |v| > 15); tail padding (gap=0, delta=0) —
+        zero adds are no-ops wherever they land, so pads can never overrun
+        the int32 position space (escape-style 65535 pads did on spill-heavy
+        q70+ streams). Spills are sparse, so 16-bit gaps avoid the ~50%
+        filler overhead uint8 gaps paid.
       dgaps/ddeltas: DC spill stream (uint16 gaps over block indices /
-        int16 remainders for |delta| > 127); tail padding (65535, 0).
+        int16 remainders for |delta| > 127); tail padding (0, 0).
       qtable: ``(B, 64)`` per-frame quantization tables, natural order.
       height/width: true image dims; grid: ``(bh, bw)`` block grid.
 
@@ -282,12 +291,15 @@ def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
     flat = jnp.zeros(b * blocks * 63, jnp.int16).at[pos].set(
         val, mode="drop", unique_indices=True, indices_are_sorted=True)
     spos = jnp.cumsum(sgaps.astype(jnp.int32)) - 1
-    flat = flat.at[spos].add(sdeltas, mode="drop", unique_indices=True,
+    # unique_indices=False on both spill adds: (0, 0) tail pads repeat the
+    # last real position (zero adds are no-ops; claiming uniqueness on
+    # duplicates would be UB).
+    flat = flat.at[spos].add(sdeltas, mode="drop", unique_indices=False,
                              indices_are_sorted=True)
     d = dc.astype(jnp.int32)
     dpos = jnp.cumsum(dgaps.astype(jnp.int32)) - 1
     d = d.at[dpos].add(ddeltas.astype(jnp.int32), mode="drop",
-                       unique_indices=True, indices_are_sorted=True)
+                       unique_indices=False, indices_are_sorted=True)
     dcv = jnp.cumsum(d.reshape(b, blocks), axis=1).astype(jnp.int16)
     # [dc | zz1..zz63] IS the zigzag-ordered coefficient vector (zigzag
     # position 0 is the DC); the inverse permutation rides the IDCT basis.
@@ -570,14 +582,15 @@ class MjpegBatchDecoder:
         e_n, s_n = int(counts[0]), int(counts[1])
         e_b = min(_bucket(e_n), self._gaps.size)
         s_b = min(_bucket(s_n), self._sgaps.size)
-        # The (gap=255, value=0) tail fillers keep climbing past the tensor
-        # end; they too must stay inside int32 or they wrap — a multi-wrap
-        # could land a zero back INSIDE the valid range and violate the
-        # scatter's unique-sorted-index contract. Real sparsity never gets
-        # close (256x480p: ~78M + 255*~600k); adversarially dense inputs
-        # fail cleanly here instead of corrupting.
-        if (n * blocks * 64 + 255 * (e_b - e_n) >= 2 ** 31
-                or n * blocks * 64 + 255 * (s_b - s_n) >= 2 ** 31):
+        # The main stream's (gap=255, value=0) tail fillers keep climbing
+        # past the tensor end; they must stay inside int32 or they wrap — a
+        # multi-wrap could land a zero back INSIDE the valid range and
+        # violate the scatter's unique-sorted-index contract. (Spill pads
+        # are (0, 0) — zero-gap zero-adds can't overrun anything.) Real
+        # sparsity never gets close (256x480p: ~78M + 255*~600k);
+        # adversarially dense inputs fail cleanly here instead of
+        # corrupting.
+        if n * blocks * 64 + 255 * (e_b - e_n) >= 2 ** 31:
             raise ValueError(
                 "packed transport: tail-filler positions would exceed the "
                 "int32 position space; split the batch")
@@ -592,7 +605,7 @@ class MjpegBatchDecoder:
         vals[e_n:] = 0
         sgaps = self._sgaps[:s_b].copy()
         sdeltas = self._sdeltas[:s_b].copy()
-        sgaps[s_n:] = 255
+        sgaps[s_n:] = 0   # zero-gap zero-add pads: no-ops wherever they land
         sdeltas[s_n:] = 0
         stats = {
             "transport": "packed", "frames": n, "nnz": e_n,
@@ -701,12 +714,12 @@ class MjpegBatchDecoder:
         a_b = min(_bucket(a_n), self._ac.size)
         s_b = min(_bucket(s_n), self._asg.size)
         d_b = min(_bucket(d_n), self._dsg.size)
-        # Tail padding overrun guards (see entropy_decode_packed): AC pad
-        # bytes are 0x87 escapes advancing 504 positions each; spill pads
-        # advance 65535.
-        if (n * blocks * 63 + 504 * (a_b - a_n) >= 2 ** 31
-                or n * blocks * 63 + 65535 * (s_b - s_n) >= 2 ** 31
-                or n * blocks + 65535 * (d_b - d_n) >= 2 ** 31):
+        # Tail padding overrun guard (see entropy_decode_packed): AC pad
+        # bytes are 0x87 escapes advancing 504 positions each. Spill pads
+        # are (gap=0, delta=0) zero-adds and can't overrun (65535-gap pads
+        # overflowed int32 on spill-heavy q70+ streams — a real stream
+        # class, not an adversarial one).
+        if n * blocks * 63 + 504 * (a_b - a_n) >= 2 ** 31:
             raise ValueError(
                 "split transport: tail-pad positions would exceed the "
                 "int32 position space; split the batch")
@@ -715,11 +728,11 @@ class MjpegBatchDecoder:
         dc = self._dc[:n * blocks].copy()
         sgaps = self._asg[:s_b].copy()
         sdeltas = self._asd[:s_b].copy()
-        sgaps[s_n:] = 65535
+        sgaps[s_n:] = 0
         sdeltas[s_n:] = 0
         dgaps = self._dsg[:d_b].copy()
         ddeltas = self._dsd[:d_b].copy()
-        dgaps[d_n:] = 65535
+        dgaps[d_n:] = 0
         ddeltas[d_n:] = 0
         stats = {
             "transport": "split", "frames": n, "nnz": a_n,

@@ -26,8 +26,10 @@ def _data_size(mesh: Mesh) -> int:
 
 
 def _pad_stream(arr: np.ndarray, n: int, fill: int) -> np.ndarray:
-    """Pad a packed stream to length ``n`` with the tail-filler convention
-    (gap=255 keeps implied positions climbing past the tensor; value 0)."""
+    """Pad a packed stream to length ``n`` with its tail-filler convention:
+    main streams keep implied positions climbing past the tensor (gap=255 /
+    escape 0x87); spill streams pad (gap=0, delta=0) — zero adds are no-ops
+    wherever they land (ops/jpeg.py)."""
     if arr.size == n:
         return arr
     out = np.full(n, fill, arr.dtype)
@@ -103,11 +105,11 @@ class ShardedPackedFeed:
                 put(np.stack([_pad_stream(s.ac, a_cap, 0x87)
                               for s in shards])),
                 put(np.stack([s.dc for s in shards])),
-                put(np.stack([_pad_stream(s.sgaps, s_cap, 65535)
+                put(np.stack([_pad_stream(s.sgaps, s_cap, 0)
                               for s in shards])),
                 put(np.stack([_pad_stream(s.sdeltas, s_cap, 0)
                               for s in shards])),
-                put(np.stack([_pad_stream(s.dgaps, d_cap, 65535)
+                put(np.stack([_pad_stream(s.dgaps, d_cap, 0)
                               for s in shards])),
                 put(np.stack([_pad_stream(s.ddeltas, d_cap, 0)
                               for s in shards])),
@@ -118,7 +120,7 @@ class ShardedPackedFeed:
         return expand(
             put(np.stack([_pad_stream(s.gaps, e_cap, 255) for s in shards])),
             put(np.stack([_pad_stream(s.vals, e_cap, 0) for s in shards])),
-            put(np.stack([_pad_stream(s.sgaps, s_cap, 255) for s in shards])),
+            put(np.stack([_pad_stream(s.sgaps, s_cap, 0) for s in shards])),
             put(np.stack([_pad_stream(s.sdeltas, s_cap, 0) for s in shards])),
             put(qtables))
 
