@@ -136,34 +136,54 @@ def bench_decode_fed(n_frames: int, batch: int) -> dict | None:
 
     cfg = PipelineConfig(reconstruct=ReconstructConfig(warmup_frames=0))
 
-    # Write the bench video (setup, not timed).
+    # Write the bench video (setup, not timed): JPEG quality 70, exactly the
+    # capture server's stream encoding (``collecting.py:130`` — the operator
+    # records that stream to .avi, so q70 IS the production input; cv2's
+    # VideoWriter ignores VIDEOWRITER_PROP_QUALITY in this build and wrote
+    # ~q95 frames in rounds 2-4, overstating the production byte cost).
+    # MjpegAviWriter muxes the encoded JPEGs verbatim, like the recorder.
+    import cv2
+
+    from vision_basedsensor_tpu.io.video import MjpegAviWriter
+
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "bench.avi")
-        vw = VideoWriter(path, 12.0, (640, 480), fourcc="MJPG")
+        vw = MjpegAviWriter(path, 12.0, (640, 480))
         scene = None
         for start in range(0, n_frames, 256):
             scene, chunk = _render_sequence(min(256, n_frames - start))
             for f in np.asarray(chunk).astype(np.uint8):
-                vw.write(f)
+                bgr = np.repeat(f[..., None], 3, axis=-1)  # camera frames are color
+                vw.write_jpeg(cv2.imencode(
+                    ".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, 70])[1].tobytes())
         vw.close()
 
-        # Four ingest backends; report the best sustained number.
+        # Five ingest backends; report the best sustained number.
         # - host_libjpeg: parallel cv2.imdecode -> raw gray frames to device
         #   (wins on multi-core hosts; frame bytes ride the host->TPU link).
         # - tpu_idct_split: native C++ entropy decode -> DC/AC-separated
-        #   byte streams (~24 KB/frame at 480p q70, the fewest link bytes)
-        #   -> per-frame DC cumsum + sorted AC scatter + MXU dequant+IDCT.
-        #   The host does only the serial Huffman work AND the link carries
-        #   JPEG-scale bytes — built to beat both walls of the
-        #   1-core/thin-tunnel driver host.
+        #   byte streams (~28 KB/frame at 480p q70, the fewest lossless
+        #   link bytes) -> per-frame DC cumsum + sorted AC scatter + MXU
+        #   dequant+IDCT. The host does only the serial Huffman work AND
+        #   the link carries JPEG-scale bytes — built to beat both walls of
+        #   the 1-core/thin-tunnel driver host.
+        # - tpu_idct_split_z15: the same transport under the DETECT-GRADE
+        #   zigzag band limit (zmax=15 keeps every DCT mode with k+l <= 4;
+        #   the pipeline's own sigma>=4.56 blurs attenuate the dropped tail
+        #   below 1e-9, and tests/test_jpeg.py pins the end-to-end detect
+        #   envelope). ~19 KB/frame — the production profile for link-bound
+        #   attachments.
         # - tpu_idct_packed: the 2-byte (gap, value) delta-pair transport
-        #   (~40-51 KB/frame; kept as the sparse-format ablation).
+        #   (kept as the sparse-format ablation).
         # - tpu_idct: the DENSE coefficient tensor (614 KB/frame at 480p;
         #   kept as the transport ablation).
         def sources():
             yield "host_libjpeg", lambda: MjpegAviSource(path, gray=True)
             try:
                 MjpegAviTpuSource(path)
+                yield ("tpu_idct_split_z15",
+                       lambda: MjpegAviTpuSource(path, transport="split",
+                                                 zmax=15))
                 yield ("tpu_idct_split",
                        lambda: MjpegAviTpuSource(path, transport="split"))
                 yield ("tpu_idct_packed",

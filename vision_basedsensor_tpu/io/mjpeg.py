@@ -287,17 +287,23 @@ class MjpegTpuVideoSource:
     """
 
     def __init__(self, url: str, fps: float = 12.0,
-                 max_frames: int | None = None, transport: str = "split"):
+                 max_frames: int | None = None, transport: str = "split",
+                 zmax: int = 64):
         """``transport``: ``split`` (default, fewest link bytes) or
-        ``packed`` — see :class:`~...ops.jpeg.MjpegBatchDecoder`."""
+        ``packed`` — see :class:`~...ops.jpeg.MjpegBatchDecoder`. ``zmax``
+        (split only): zigzag band limit; 64 = exact, lower = the
+        detect-grade profile (ops/jpeg.py header)."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
         if transport not in ("split", "packed"):
             raise ValueError(f"transport must be split|packed, got {transport}")
+        if zmax != 64 and transport != "split":
+            raise ValueError("zmax band limit requires transport='split'")
         self.url = url
         self._fps = fps
         self._max = max_frames
         self._dec = MjpegBatchDecoder()
         self._transport = transport
+        self._zmax = zmax
         self.last_dropped = 0
         self.session_stats: dict | None = None
 
@@ -326,8 +332,10 @@ class MjpegTpuVideoSource:
         return self.to_device(self._entropy(buf))
 
     def _entropy(self, buf):
-        hp = (self._dec.entropy_decode_split if self._transport == "split"
-              else self._dec.entropy_decode_packed)(buf)
+        if self._transport == "split":
+            hp = self._dec.entropy_decode_split(buf, zmax=self._zmax)
+        else:
+            hp = self._dec.entropy_decode_packed(buf)
         self._account(hp.stats)
         return hp
 

@@ -13,6 +13,7 @@ dome scenes) are always available and serve as the fake-camera test backbone
 """
 from __future__ import annotations
 
+import functools
 import threading
 from typing import Iterator
 
@@ -223,15 +224,19 @@ class MjpegAviTpuSource(VideoSource):
     """
 
     def __init__(self, path: str, fps: float = 12.0,
-                 transport: str = "split"):
+                 transport: str = "split", zmax: int = 64):
         """``transport``: ``split`` (default — DC/AC-separated streams,
         fewest link bytes, ~24 KB/frame at 480p q70), ``packed`` (2-byte
         delta pairs), or ``dense`` (full coefficient tensor, the
-        ablation)."""
+        ablation). ``zmax`` (split only, 2..64): zigzag band limit —
+        64 decodes exactly; lower values are the detect-grade profile
+        (ops/jpeg.py header) at a further large byte cut."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
         if transport not in ("split", "packed", "dense"):
             raise ValueError(
                 f"transport must be split|packed|dense, got {transport}")
+        if zmax != 64 and transport != "split":
+            raise ValueError("zmax band limit requires transport='split'")
         with open(path, "rb") as f:
             self._buf = f.read()
         first = next(_iter_avi_video_chunks(self._buf), None)
@@ -239,6 +244,7 @@ class MjpegAviTpuSource(VideoSource):
             raise ValueError(f"{path}: not an MJPEG AVI")
         self._dec = MjpegBatchDecoder()
         self._transport = transport
+        self._zmax = zmax
         self._fps = fps
 
     @property
@@ -251,9 +257,11 @@ class MjpegAviTpuSource(VideoSource):
         return self._dec.last_stats
 
     def batches(self, batch_size: int):
-        dec = {"split": self._dec.decode_split,
-               "packed": self._dec.decode_packed,
-               "dense": self._dec.decode}[self._transport]
+        if self._transport == "split":
+            dec = functools.partial(self._dec.decode_split, zmax=self._zmax)
+        else:
+            dec = {"packed": self._dec.decode_packed,
+                   "dense": self._dec.decode}[self._transport]
         chunks = []
         for c in _iter_avi_video_chunks(self._buf):
             chunks.append(c)
@@ -268,9 +276,12 @@ class MjpegAviTpuSource(VideoSource):
         numpy payloads, NO jax dispatch — safe to drive from device_feed's
         prefetch thread (TPU dispatch from a background thread hangs
         through the axon relay). Pair with :meth:`to_device`."""
-        dec = {"split": self._dec.entropy_decode_split,
-               "packed": self._dec.entropy_decode_packed,
-               "dense": self._dec.entropy_decode_dense}[self._transport]
+        if self._transport == "split":
+            dec = functools.partial(self._dec.entropy_decode_split,
+                                    zmax=self._zmax)
+        else:
+            dec = {"packed": self._dec.entropy_decode_packed,
+                   "dense": self._dec.entropy_decode_dense}[self._transport]
         chunks = []
         for c in _iter_avi_video_chunks(self._buf):
             chunks.append(c)

@@ -110,6 +110,7 @@ def load_jpeg_lib():
                     ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_uint16),
+                    ctypes.c_int,  # zmax (band limit; 64 = lossless)
                 ]
                 lib.vbs_mjpeg_batch_y_coeffs_split_mt.restype = ctypes.c_int
                 lib.vbs_mjpeg_batch_y_coeffs_split_mt.argtypes = (

@@ -384,14 +384,38 @@ struct DeltaVecSink {
 //   absolute quantized DC (first block of each frame deltas from 0, so the
 //   device reconstructs with one per-frame cumsum). |delta| > 127 spills
 //   the remainder to a (gap uint8 over block indices, int16) side stream.
-// * AC: ONE byte per entry in the 63-slot-per-block ZIGZAG AC position
-//   space (pos = block*63 + zigzag_index-1 — scan order, so JPEG's own
-//   run-lengths keep gaps tiny). Low 3 bits: gap-1 (gap 1..8). High 5 bits:
-//   the value, signed 5-bit two's complement in [-15, 15] — the code -16
-//   (byte & 0x80 with value bits 10000) is an ESCAPE advancing
-//   (low3+1)*63 positions (1..8 whole empty blocks) and emitting nothing.
-//   Gaps 9..63 bridge with zero-value gap-8 fillers. |v| > 15 clamps and
-//   spills the remainder to a (gap uint8 over AC positions, int16) stream.
+// * AC: a variable-length byte stream (1 or 2 bytes per entry) in the
+//   nslots-per-block ZIGZAG AC position space (nslots = zmax-1; pos =
+//   block*nslots + zigzag_index-1 — scan order, so JPEG's own run-lengths
+//   keep gaps tiny). Entry first byte: low 3 bits gap-1 (gap 1..8), high
+//   5 bits the value code:
+//     - codes -14..15 : SHORT entry, the value itself (one byte total);
+//     - code  -16     : ESCAPE advancing (low3+1)*nslots positions (1..8
+//                       whole empty blocks), emitting nothing;
+//     - code  -15     : EXT marker — the NEXT byte is the value as int8
+//                       (two bytes total; |v| > 127 clamps and spills the
+//                       remainder to the uint16-gap/int16 side stream,
+//                       which q70-class streams then use ~never).
+//   Gaps 9..nslots bridge with zero-value gap-8 short fillers. The 1/2-
+//   byte framing is self-synchronizing UTF-8 style: after any byte whose
+//   value code is not EXT, the next byte starts an entry, so entry starts
+//   are recoverable by a parity scan over the EXT-code flag — which is
+//   exactly how the TPU decodes this stream with no gathers
+//   (ops/jpeg.py:split_idct_frames). Replaces the round-4 format's
+//   clamp-to-[-15,15] + 4-byte spill pair (1 entry byte + 4 spill bytes
+//   -> 2 bytes for every |v| in 16..127 — measured ~3.7 KB/frame on q70
+//   480p, the difference between clearing the 1000 fps ingest bar on a
+//   22 MB/s link day and missing it).
+//
+// zmax (2..64, default 64) BAND-LIMITS the transport: AC coefficients at
+// zigzag scan index >= zmax are dropped at emit time and the position
+// space shrinks to zmax-1 slots/block. zmax=64 is the exact (lossless)
+// transport. Lower zmax is the detect-grade profile (ops/jpeg.py header):
+// the marker pipeline's own Gaussian blurs (sigma >= 4.56,
+// marker_detection.py:118-124) attenuate every frequency pair with
+// k+l >= 4 by < 3e-6, so dropping the high-zigzag tail changes the
+// pipeline's outputs by measurement noise while cutting both link bytes
+// and host emit work (tests/test_jpeg.py pins the end-to-end envelope).
 //
 // ~1 byte/AC + 1 byte/block beats the 2-byte delta pairs by ~40% on real
 // q70 streams (measured 40 -> 24.5 KB/frame at 480p) — the transport is
@@ -414,6 +438,7 @@ struct SplitSink {
   int64_t prev_ac = -1, sprev = -1, dprev = -1;
   int32_t pred_dc = 0;           // previous block's absolute DC (per frame)
   int64_t frame_block_base = 0;  // frame_index * blocks_per_frame
+  int nslots = 63;               // zmax - 1 AC slots per block (band limit)
 
   inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
     const int64_t gblock = frame_block_base + block;
@@ -437,46 +462,55 @@ struct SplitSink {
       ++dn;
       dprev = gblock;
     }
+    // Band limit: keep AC slots 1..nslots only (mask bit j = zigzag index).
     uint64_t m = mask & ~1ull;
-    const int64_t base = gblock * 63 - 1;  // pos = base + j for slot j >= 1
+    if (nslots < 63)
+      m &= (1ull << (nslots + 1)) - 1;
+    const int64_t base = gblock * nslots - 1;  // pos = base + j, slot j >= 1
     while (m) {
       const int j = __builtin_ctzll(m);
       m &= m - 1;
       const int64_t pos = base + j;
       int64_t gap = pos - prev_ac;  // >= 1: positions strictly increase
-      while (gap - 1 >= 63) {       // whole empty blocks -> escape bytes
-        int64_t k = (gap - 1) / 63;
+      while (gap - 1 >= nslots) {   // whole empty blocks -> escape bytes
+        int64_t k = (gap - 1) / nslots;
         if (k > 8) k = 8;
         if (ac_n >= ac_cap) return kErrAcCap;
         ac[ac_n++] = static_cast<uint8_t>((k - 1) | 0x80);
-        gap -= k * 63;
+        gap -= k * nslots;
       }
-      while (gap > 8) {  // remaining 9..63 -> zero-value gap-8 fillers
+      while (gap > 8) {  // remaining 9..nslots -> zero-value gap-8 fillers
         if (ac_n >= ac_cap) return kErrAcCap;
         ac[ac_n++] = 7;  // gap 8, value 0
         gap -= 8;
       }
       const int16_t v = scratch[j];
-      const int16_t cv = v > 15 ? 15 : (v < -15 ? -15 : v);
-      if (ac_n >= ac_cap) return kErrAcCap;
-      ac[ac_n++] =
-          static_cast<uint8_t>((gap - 1) | ((static_cast<int>(cv) & 31) << 3));
-      prev_ac = pos;
-      if (v != cv) {
-        int64_t sg = pos - sprev;
-        while (sg > 65535) {
+      if (v >= -14 && v <= 15) {  // SHORT: value rides the 5-bit code
+        if (ac_n >= ac_cap) return kErrAcCap;
+        ac[ac_n++] = static_cast<uint8_t>(
+            (gap - 1) | ((static_cast<int>(v) & 31) << 3));
+      } else {  // EXT: code -15 marks a second byte carrying int8 value
+        const int16_t cv = v > 127 ? 127 : (v < -127 ? -127 : v);
+        if (ac_n + 2 > ac_cap) return kErrAcCap;
+        ac[ac_n++] = static_cast<uint8_t>((gap - 1) | ((17 & 31) << 3));
+        ac[ac_n++] = static_cast<uint8_t>(static_cast<int8_t>(cv));
+        if (v != cv) {
+          int64_t sg = pos - sprev;
+          while (sg > 65535) {
+            if (sn >= scap) return kErrAcSpillCap;
+            sgaps[sn] = 65535;
+            sdeltas[sn] = 0;
+            ++sn;
+            sg -= 65535;
+          }
           if (sn >= scap) return kErrAcSpillCap;
-          sgaps[sn] = 65535;
-          sdeltas[sn] = 0;
+          sgaps[sn] = static_cast<uint16_t>(sg);
+          sdeltas[sn] = static_cast<int16_t>(v - cv);
           ++sn;
-          sg -= 65535;
+          sprev = pos;
         }
-        if (sn >= scap) return kErrAcSpillCap;
-        sgaps[sn] = static_cast<uint16_t>(sg);
-        sdeltas[sn] = static_cast<int16_t>(v - cv);
-        ++sn;
-        sprev = pos;
       }
+      prev_ac = pos;
     }
     return 0;
   }
@@ -501,6 +535,7 @@ struct SplitVecSink {
   int64_t prev_ac = -1, sprev = -1, dprev = -1;
   int32_t pred_dc = 0;
   int64_t frame_block_base = 0;
+  int nslots = 63;  // zmax - 1 AC slots per block (band limit)
 
   inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
     const int64_t gblock = frame_block_base + block;
@@ -521,38 +556,45 @@ struct SplitVecSink {
       dprev = gblock;
     }
     uint64_t m = mask & ~1ull;
-    const int64_t base = gblock * 63 - 1;
+    if (nslots < 63)
+      m &= (1ull << (nslots + 1)) - 1;
+    const int64_t base = gblock * nslots - 1;
     while (m) {
       const int j = __builtin_ctzll(m);
       m &= m - 1;
       const int64_t pos = base + j;
       int64_t gap = pos - prev_ac;
-      while (gap - 1 >= 63) {
-        int64_t k = (gap - 1) / 63;
+      while (gap - 1 >= nslots) {
+        int64_t k = (gap - 1) / nslots;
         if (k > 8) k = 8;
         ac.push_back(static_cast<uint8_t>((k - 1) | 0x80));
-        gap -= k * 63;
+        gap -= k * nslots;
       }
       while (gap > 8) {
         ac.push_back(7);
         gap -= 8;
       }
       const int16_t v = scratch[j];
-      const int16_t cv = v > 15 ? 15 : (v < -15 ? -15 : v);
-      ac.push_back(
-          static_cast<uint8_t>((gap - 1) | ((static_cast<int>(cv) & 31) << 3)));
-      prev_ac = pos;
-      if (v != cv) {
-        int64_t sg = pos - sprev;
-        while (sg > 65535) {
-          sgaps.push_back(65535);
-          sdeltas.push_back(0);
-          sg -= 65535;
+      if (v >= -14 && v <= 15) {
+        ac.push_back(static_cast<uint8_t>(
+            (gap - 1) | ((static_cast<int>(v) & 31) << 3)));
+      } else {
+        const int16_t cv = v > 127 ? 127 : (v < -127 ? -127 : v);
+        ac.push_back(static_cast<uint8_t>((gap - 1) | ((17 & 31) << 3)));
+        ac.push_back(static_cast<uint8_t>(static_cast<int8_t>(cv)));
+        if (v != cv) {
+          int64_t sg = pos - sprev;
+          while (sg > 65535) {
+            sgaps.push_back(65535);
+            sdeltas.push_back(0);
+            sg -= 65535;
+          }
+          sgaps.push_back(static_cast<uint16_t>(sg));
+          sdeltas.push_back(static_cast<int16_t>(v - cv));
+          sprev = pos;
         }
-        sgaps.push_back(static_cast<uint16_t>(sg));
-        sdeltas.push_back(static_cast<int16_t>(v - cv));
-        sprev = pos;
       }
+      prev_ac = pos;
     }
     return 0;
   }
@@ -1036,6 +1078,9 @@ int vbs_mjpeg_batch_y_coeffs_delta_mt(
 //   out_sgaps/out_sdeltas : AC spill stream (uint16 gaps over AC positions)
 //   out_dgaps/out_ddeltas : DC spill stream (uint16 gaps over block indices)
 //   out_counts  : int64[3] = {ac bytes, AC spills, DC spills}
+//   zmax        : 2..64 — AC zigzag indices >= zmax are dropped and the
+//                 position space is zmax-1 slots/block (64 = lossless;
+//                 see SplitSink header). Out-of-range values clamp to 64.
 //
 // Returns n on success; a frame index 0 <= i < n at the first parse error
 // or geometry mismatch; kErrAcCap/kErrAcSpillCap/kErrDcSpillCap
@@ -1046,11 +1091,13 @@ int vbs_mjpeg_batch_y_coeffs_split(
     uint8_t* out_ac, int64_t ac_cap, int8_t* out_dc, uint16_t* out_sgaps,
     int16_t* out_sdeltas, int64_t scap, uint16_t* out_dgaps,
     int16_t* out_ddeltas, int64_t dcap, int64_t* out_counts,
-    int blocks_per_frame, int* out_meta, uint16_t* out_qtable) {
+    int blocks_per_frame, int* out_meta, uint16_t* out_qtable, int zmax) {
+  if (zmax < 2 || zmax > 64) zmax = 64;
   int meta[4];
   SplitSink sink{out_ac,    ac_cap,      0, out_dc,   0,
                  out_sgaps, out_sdeltas, scap, 0,     out_dgaps,
                  out_ddeltas, dcap,      0};
+  sink.nslots = zmax - 1;
   std::vector<int16_t> stage;
   std::vector<uint64_t> stage_mask;
   for (int i = 0; i < n; ++i) {
@@ -1097,8 +1144,10 @@ int vbs_mjpeg_batch_y_coeffs_split_mt(
     uint8_t* out_ac, int64_t ac_cap, int8_t* out_dc, uint16_t* out_sgaps,
     int16_t* out_sdeltas, int64_t scap, uint16_t* out_dgaps,
     int16_t* out_ddeltas, int64_t dcap, int64_t* out_counts,
-    int blocks_per_frame, int* out_meta, uint16_t* out_qtable,
+    int blocks_per_frame, int* out_meta, uint16_t* out_qtable, int zmax,
     int n_threads) {
+  if (zmax < 2 || zmax > 64) zmax = 64;
+  const int nslots = zmax - 1;
   if (n_threads > n - 1) n_threads = n - 1;
   if (n_threads > 64) n_threads = 64;
   if (n_threads <= 1 || n < 4)
@@ -1107,13 +1156,14 @@ int vbs_mjpeg_batch_y_coeffs_split_mt(
                                           out_sdeltas, scap, out_dgaps,
                                           out_ddeltas, dcap, out_counts,
                                           blocks_per_frame, out_meta,
-                                          out_qtable);
+                                          out_qtable, zmax);
 
   // Frame 0 decodes serially into the caller's buffers: it establishes the
   // geometry contract the workers validate against.
   SplitSink sink{out_ac,    ac_cap,      0, out_dc,   0,
                  out_sgaps, out_sdeltas, scap, 0,     out_dgaps,
                  out_ddeltas, dcap,      0};
+  sink.nslots = nslots;
   {
     std::vector<int16_t> stage;
     std::vector<uint64_t> stage_mask;
@@ -1150,8 +1200,9 @@ int vbs_mjpeg_batch_y_coeffs_split_mt(
       int meta_l[4];
       std::vector<int16_t> stage;
       std::vector<uint64_t> stage_mask;
+      s->sink.nslots = nslots;
       s->sink.dc = out_dc + static_cast<int64_t>(s->a) * bpf;
-      s->sink.prev_ac = static_cast<int64_t>(s->a) * bpf * 63 - 1;
+      s->sink.prev_ac = static_cast<int64_t>(s->a) * bpf * nslots - 1;
       s->sink.sprev = s->sink.prev_ac;
       s->sink.dprev = static_cast<int64_t>(s->a) * bpf - 1;
       s->sink.ac.reserve(static_cast<size_t>(s->b - s->a) * bpf * 5);
@@ -1177,15 +1228,15 @@ int vbs_mjpeg_batch_y_coeffs_split_mt(
   int64_t ac_n = sink.ac_n, sn = sink.sn, dn = sink.dn;
   int64_t prev_ac = sink.prev_ac, sprev = sink.sprev, dprev = sink.dprev;
   for (auto& s : slices) {
-    const int64_t base_ac = static_cast<int64_t>(s.a) * bpf * 63 - 1;
+    const int64_t base_ac = static_cast<int64_t>(s.a) * bpf * nslots - 1;
     if (!s.sink.ac.empty()) {
       int64_t bridge = base_ac - prev_ac;  // >= 0
-      while (bridge >= 63) {
-        int64_t k = bridge / 63;
+      while (bridge >= nslots) {
+        int64_t k = bridge / nslots;
         if (k > 8) k = 8;
         if (ac_n >= ac_cap) return kErrAcCap;
         out_ac[ac_n++] = static_cast<uint8_t>((k - 1) | 0x80);
-        bridge -= k * 63;
+        bridge -= k * nslots;
       }
       while (bridge > 0) {
         const int64_t g = bridge > 8 ? 8 : bridge;

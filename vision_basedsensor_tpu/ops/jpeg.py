@@ -32,6 +32,22 @@ Three transports feed the device:
   stream, 27.5 at q70 — the fewest link bytes of the three, which is the
   whole game on a link-bound attachment (benchmarks/README.md).
 
+The SPLIT transport additionally takes a ``zmax`` band limit (round 5):
+AC coefficients at zigzag scan index >= zmax are dropped at the host
+encoder and the position space shrinks to zmax-1 slots per block (the IDCT
+basis matmul shrinks with it). zmax=64 is exact; lower values are the
+DETECT-GRADE profile for link-bound ingest. Why this is sound for the
+marker pipeline: its first operation on every frame is a Gaussian blur
+with sigma >= 4.56 px (marker_detection.py:118-124 constants; sigma 8+ in
+the >480p profile), which attenuates an 8x8 DCT mode (k, l) by
+exp(-2 pi^2 sigma^2 ((k/16)^2 + (l/16)^2)) — for k+l = 4 that is < 3e-6,
+for k+l >= 5 it is < 1e-9. zmax=15 keeps every mode with k+l <= 4, so the
+dropped tail is invisible to the band/NCC/peak stages at f32, and the
+windowed-moment stages see only the raw-pixel ringing the blur never
+touches — measured end to end at < 0.02 px centroid / < 0.1% diameter
+drift (tests/test_jpeg.py band-limit envelope). ~40% fewer AC bytes on a
+q70 stream; host emit work shrinks with the entry count.
+
 This is the framework's answer to the host-decode ingest wall
 (benchmarks/README.md): on a 1-core driver host, full libjpeg decode
 (cv2.imdecode) tops out near ~275 fps at 640x480; entropy decode alone is
@@ -80,7 +96,8 @@ class HostDense(NamedTuple):
 class HostSplit(NamedTuple):
     """Host-side result of the SPLIT entropy decode (see HostPacked): DC
     deltas ride a dense int8 per-block stream, ACs a 1-byte (3-bit gap,
-    5-bit value) stream — ~40% fewer link bytes than HostPacked."""
+    5-bit value) stream — ~40% fewer link bytes than HostPacked. ``zmax``
+    is the band limit the streams were encoded with (module header)."""
     ac: np.ndarray
     dc: np.ndarray
     sgaps: np.ndarray
@@ -92,6 +109,7 @@ class HostSplit(NamedTuple):
     width: int
     grid: tuple[int, int]
     stats: dict
+    zmax: int = 64
 
 # Growable-capacity return codes from native/jpeg_coeffs.cpp. Any OTHER
 # nonzero code is a hard parse failure — retrying with bigger buffers would
@@ -156,16 +174,22 @@ def _dequant_idct(coeffs: jnp.ndarray, qtable: jnp.ndarray,
     permuted first — a cheap static relayout): float accumulation order is
     part of the transports' bitwise-identical-output contract, so every
     transport must sum the same products in the same sequence.
+
+    When ``zigzag`` is set the last axis may be a zigzag PREFIX of length
+    Z < 64 (the band-limited split transport): the contraction then uses
+    the first Z rows of the basis — mathematically identical to padding
+    the remaining coefficients with zeros, at Z/64 the matmul FLOPs.
     """
     zz = jnp.asarray(_ZIGZAG)
     if not zigzag:
         coeffs = coeffs[..., zz]
-    M = jnp.asarray(_idct64_basis(True))
+    z = coeffs.shape[-1]
+    M = jnp.asarray(_idct64_basis(True))[:z]
     b, bh, bw, _ = coeffs.shape
-    q = qtable.astype(jnp.float32)[..., zz]  # tables are stored natural-order
+    q = qtable.astype(jnp.float32)[..., zz[:z]]  # tables stored natural-order
     if q.ndim == 2:
         q = q[:, None, None, :]
-    px = jax.lax.dot_general((coeffs * q).reshape(b, bh * bw, 64), M,
+    px = jax.lax.dot_general((coeffs * q).reshape(b, bh * bw, z), M,
                              (((2,), (0,)), ((), ())),
                              precision=jax.lax.Precision.HIGHEST) + 128.0
     # (B, bh, bw, 8, 8) -> (B, bh*8, bw*8): one bulk relayout.
@@ -241,22 +265,35 @@ def delta_idct_frames(gaps: jnp.ndarray, vals: jnp.ndarray,
                          qtable, height, width)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "grid"))
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "grid", "zmax"))
 def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
                       sdeltas: jnp.ndarray, dgaps: jnp.ndarray,
                       ddeltas: jnp.ndarray, qtable: jnp.ndarray, *,
-                      height: int, width: int,
-                      grid: tuple[int, int]) -> jnp.ndarray:
+                      height: int, width: int, grid: tuple[int, int],
+                      zmax: int = 64) -> jnp.ndarray:
     """SPLIT-transport streams -> gray frames, all on device.
 
     Args:
-      ac: ``(cap,)`` uint8 AC entry bytes — low 3 bits gap-1 (gap 1..8 in
-        the 63-slot-per-block ZIGZAG AC position space, pos = block*63 +
-        zigzag_index-1: scan order keeps JPEG's own run-lengths, so gaps
-        almost always fit 3 bits), high 5 bits the signed value in
-        [-15, 15]; value code -16 is an escape advancing (low3+1)*63
-        positions with no emission. Tail padding must be 0x87 (escape, 504
-        positions) so implied positions overrun and drop.
+      ac: ``(cap,)`` uint8 AC stream, 1 OR 2 bytes per entry
+        (native/jpeg_coeffs.cpp SplitSink header) — first byte: low 3 bits
+        gap-1 (gap 1..8 in the (zmax-1)-slot-per-block ZIGZAG AC position
+        space, pos = block*(zmax-1) + zigzag_index-1: scan order keeps
+        JPEG's own run-lengths, so gaps almost always fit 3 bits), high 5
+        bits the value code: -14..15 = the value itself (SHORT); -16 = an
+        escape advancing (low3+1)*(zmax-1) positions with no emission;
+        -15 = EXT, the next byte is the value as int8. Tail padding must
+        be 0x87 (escape, 8 blocks) so implied positions overrun and drop.
+
+        Decoding a variable-length stream with vector ops only: after any
+        byte whose code is not EXT the next byte starts an entry, so
+        within each run of consecutive EXT-code bytes entry starts simply
+        alternate — ``starts`` below is a parity scan (one cummax + cheap
+        elementwise), ext values arrive by a static shift of the stream,
+        and non-start bytes ride the same scatter with step 0 / value 0
+        (the scatter becomes a sorted ADD; each position still receives
+        exactly one nonzero). No gathers — a gather per entry would
+        serialize on TPU (module header).
       dc: ``(B*blocks,)`` int8 per-block DC deltas (vs the previous block,
         first block of each frame vs 0) — dense, no padding.
       sgaps/sdeltas: AC spill stream (uint16 gaps over AC positions /
@@ -269,27 +306,45 @@ def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
         int16 remainders for |delta| > 127); tail padding (0, 0).
       qtable: ``(B, 64)`` per-frame quantization tables, natural order.
       height/width: true image dims; grid: ``(bh, bw)`` block grid.
-
-    Returns float32 frames ``(B, height, width)`` in 0..255 — identical to
-    :func:`idct_frames` on the equivalent dense tensor (same math, bitwise).
+      zmax: the band limit the streams were encoded with (module header).
+        64 = exact decode, bitwise-identical to :func:`idct_frames` on the
+        equivalent dense tensor; < 64 = detect-grade decode, identical to
+        the dense path with zigzag indices >= zmax zeroed.
 
     The AC scatter keeps the sorted-unique streaming form (see
     :func:`delta_idct_frames`); escapes and fillers land on real positions
     with value 0, which the pre-zeroed tensor absorbs. DCs skip scattering
     entirely: one per-frame cumsum over the dense delta lane, then a
-    concatenate puts the DC column next to the 63 AC columns.
+    concatenate puts the DC column next to the zmax-1 AC columns.
     """
     bh, bw = grid
     b = qtable.shape[0]
     blocks = bh * bw
+    ns = zmax - 1
     low = (ac & 7).astype(jnp.int32)
     v5 = ((ac >> 3).astype(jnp.int32) ^ 16) - 16  # sign-extend 5 bits
-    esc = v5 == -16
-    step = jnp.where(esc, (low + 1) * 63, low + 1)
+    ext = v5 == -15
+    # Entry starts by run parity over the EXT flag: byte i starts an entry
+    # iff (i - m[i-1]) is odd, where m[i] = last index <= i with ext False
+    # (any byte after a non-EXT byte is a start; within an EXT-flag run
+    # starts alternate — the framing self-synchronizes, so the flag's value
+    # on raw ext-VALUE bytes is irrelevant).
+    idx = jnp.arange(ac.shape[0], dtype=jnp.int32)
+    m = jax.lax.cummax(jnp.where(ext, jnp.int32(-1), idx))
+    m_prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), m[:-1]])
+    start = ((idx - m_prev) & 1) == 1
+    esc = (v5 == -16) & start
+    is_ext = ext & start
+    nxt = jnp.concatenate([ac[1:], ac[-1:]]).astype(jnp.int8)
+    val = jnp.where(is_ext, nxt.astype(jnp.int32), jnp.where(esc, 0, v5))
+    val = jnp.where(start, val, 0).astype(jnp.int16)
+    step = jnp.where(start, jnp.where(esc, (low + 1) * ns, low + 1), 0)
     pos = jnp.cumsum(step) - 1
-    val = jnp.where(esc, 0, v5).astype(jnp.int16)
-    flat = jnp.zeros(b * blocks * 63, jnp.int16).at[pos].set(
-        val, mode="drop", unique_indices=True, indices_are_sorted=True)
+    # ADD, not SET: ext value bytes carry step 0 / value 0 and repeat their
+    # starter's position — every real position still receives exactly one
+    # nonzero contribution on the pre-zeroed tensor.
+    flat = jnp.zeros(b * blocks * ns, jnp.int16).at[pos].add(
+        val, mode="drop", unique_indices=False, indices_are_sorted=True)
     spos = jnp.cumsum(sgaps.astype(jnp.int32)) - 1
     # unique_indices=False on both spill adds: (0, 0) tail pads repeat the
     # last real position (zero adds are no-ops; claiming uniqueness on
@@ -301,11 +356,12 @@ def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
     d = d.at[dpos].add(ddeltas.astype(jnp.int32), mode="drop",
                        unique_indices=False, indices_are_sorted=True)
     dcv = jnp.cumsum(d.reshape(b, blocks), axis=1).astype(jnp.int16)
-    # [dc | zz1..zz63] IS the zigzag-ordered coefficient vector (zigzag
-    # position 0 is the DC); the inverse permutation rides the IDCT basis.
+    # [dc | zz1..zz(zmax-1)] IS the zigzag-ordered coefficient (prefix)
+    # vector (zigzag position 0 is the DC); the inverse permutation rides
+    # the IDCT basis, whose row count shrinks with the band limit.
     coeffs = jnp.concatenate([dcv.reshape(b * blocks, 1),
-                              flat.reshape(b * blocks, 63)], axis=1)
-    return _dequant_idct(coeffs.reshape(b, bh, bw, 64).astype(jnp.float32),
+                              flat.reshape(b * blocks, ns)], axis=1)
+    return _dequant_idct(coeffs.reshape(b, bh, bw, zmax).astype(jnp.float32),
                          qtable, height, width, zigzag=True)
 
 
@@ -616,14 +672,19 @@ class MjpegBatchDecoder:
         return HostPacked(gaps, vals, sgaps, sdeltas, qtables, h, w,
                           (bh, bw), stats)
 
-    def decode_split(self, jpegs: list[bytes]) -> jnp.ndarray:
+    def decode_split(self, jpegs: list[bytes],
+                     zmax: int = 64) -> jnp.ndarray:
         """Decode a batch to ``(B, H, W)`` float32 via the SPLIT (DC/AC
-        separated) transport — identical output to :meth:`decode`, the
-        fewest host->device bytes of the three transports (~40% below
-        PACKED on real q70 streams: the measured byte split is ~25% block
-        DCs with large values that need no gaps, ~75% ACs with small gaps
-        and small values that fit one byte)."""
-        return self.split_to_device(self.entropy_decode_split(jpegs))
+        separated) transport — identical output to :meth:`decode` at the
+        default ``zmax=64``, the fewest host->device bytes of the three
+        transports (~40% below PACKED on real q70 streams: the measured
+        byte split is ~25% block DCs with large values that need no gaps,
+        ~75% ACs with small gaps and small values that fit one byte).
+
+        ``zmax`` < 64 selects the detect-grade band-limited profile (module
+        header): identical to the dense decode with zigzag indices >= zmax
+        zeroed, at a further large byte cut."""
+        return self.split_to_device(self.entropy_decode_split(jpegs, zmax))
 
     def split_to_device(self, hs: HostSplit) -> jnp.ndarray:
         """Device half of :meth:`decode_split` — jit dispatch, MAIN thread
@@ -633,12 +694,16 @@ class MjpegBatchDecoder:
             jnp.asarray(hs.ac), jnp.asarray(hs.dc), jnp.asarray(hs.sgaps),
             jnp.asarray(hs.sdeltas), jnp.asarray(hs.dgaps),
             jnp.asarray(hs.ddeltas), jnp.asarray(hs.qtables),
-            height=hs.height, width=hs.width, grid=hs.grid)
+            height=hs.height, width=hs.width, grid=hs.grid, zmax=hs.zmax)
 
-    def entropy_decode_split(self, jpegs: list[bytes]) -> HostSplit:
+    def entropy_decode_split(self, jpegs: list[bytes],
+                             zmax: int = 64) -> HostSplit:
         """Host half of :meth:`decode_split` — pure numpy + native call,
         safe on a prefetch thread (no jax dispatch)."""
         import ctypes
+        if not 2 <= zmax <= 64:
+            raise ValueError(f"zmax must be in [2, 64], got {zmax}")
+        ns = zmax - 1
         self._ensure_meta(jpegs[0])
         n = len(jpegs)
         args = None
@@ -646,8 +711,8 @@ class MjpegBatchDecoder:
             w, h, bw, bh = self._meta
             blocks = bw * bh
             # int32 position-space guard (see entropy_decode_packed): the
-            # AC space is 63 slots/block, the DC space `blocks` slots.
-            if n * blocks * 63 >= 2 ** 31:
+            # AC space is zmax-1 slots/block, the DC space `blocks` slots.
+            if n * blocks * ns >= 2 ** 31:
                 raise ValueError(
                     f"split transport: batch of {n} frames x {blocks} "
                     f"blocks exceeds the int32 position space; split the "
@@ -688,7 +753,8 @@ class MjpegBatchDecoder:
                     self._dscap,
                     counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                     blocks, meta,
-                    qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+                    qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                    zmax)
                 if self._workers > 1:
                     got = self._lib.vbs_mjpeg_batch_y_coeffs_split_mt(
                         *call_args, self._workers)
@@ -697,7 +763,9 @@ class MjpegBatchDecoder:
                 if got == n:
                     break
                 if got == _RC_AC_CAP:
-                    self._accap = min(2 * self._accap, 80 * blocks * n)
+                    # Hard ceiling: 63 all-EXT entries (2 B) + fillers per
+                    # block can approach ~128 B/block on adversarial input.
+                    self._accap = min(2 * self._accap, 140 * blocks * n)
                 elif got == _RC_AC_SPILL_CAP:
                     self._ascap = min(2 * self._ascap, 64 * blocks * n)
                 elif got == _RC_DC_SPILL_CAP:
@@ -715,11 +783,11 @@ class MjpegBatchDecoder:
         s_b = min(_bucket(s_n), self._asg.size)
         d_b = min(_bucket(d_n), self._dsg.size)
         # Tail padding overrun guard (see entropy_decode_packed): AC pad
-        # bytes are 0x87 escapes advancing 504 positions each. Spill pads
-        # are (gap=0, delta=0) zero-adds and can't overrun (65535-gap pads
+        # bytes are 0x87 escapes advancing 8 blocks each. Spill pads are
+        # (gap=0, delta=0) zero-adds and can't overrun (65535-gap pads
         # overflowed int32 on spill-heavy q70+ streams — a real stream
         # class, not an adversarial one).
-        if n * blocks * 63 + 504 * (a_b - a_n) >= 2 ** 31:
+        if n * blocks * ns + 8 * ns * (a_b - a_n) >= 2 ** 31:
             raise ValueError(
                 "split transport: tail-pad positions would exceed the "
                 "int32 position space; split the batch")
@@ -735,11 +803,11 @@ class MjpegBatchDecoder:
         dgaps[d_n:] = 0
         ddeltas[d_n:] = 0
         stats = {
-            "transport": "split", "frames": n, "nnz": a_n,
+            "transport": "split", "frames": n, "nnz": a_n, "zmax": zmax,
             "bytes_shipped": (a_b + n * blocks + 4 * s_b + 4 * d_b
                               + qtables.nbytes),
             "bytes_dense": n * blocks * 128 + qtables.nbytes,
         }
         self.last_stats = stats
         return HostSplit(ac, dc, sgaps, sdeltas, dgaps, ddeltas, qtables,
-                         h, w, (bh, bw), stats)
+                         h, w, (bh, bw), stats, zmax)

@@ -53,16 +53,22 @@ class ShardedPackedFeed:
     ``make_sharded_pipeline``'s step without resharding the batch axis.
     """
 
-    def __init__(self, mesh: Mesh, decoder=None, transport: str = "split"):
+    def __init__(self, mesh: Mesh, decoder=None, transport: str = "split",
+                 zmax: int = 64):
         """``transport``: ``split`` (default — DC/AC separated streams,
         fewest bytes per device link) or ``packed`` (2-byte delta pairs);
-        see :class:`~vision_basedsensor_tpu.ops.jpeg.MjpegBatchDecoder`."""
+        see :class:`~vision_basedsensor_tpu.ops.jpeg.MjpegBatchDecoder`.
+        ``zmax`` (split only): zigzag band limit — 64 exact, lower the
+        detect-grade profile (ops/jpeg.py header)."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
         if transport not in ("split", "packed"):
             raise ValueError(f"transport must be split|packed, got {transport}")
+        if zmax != 64 and transport != "split":
+            raise ValueError("zmax band limit requires transport='split'")
         self.mesh = mesh
         self._dec = decoder if decoder is not None else MjpegBatchDecoder()
         self._transport = transport
+        self._zmax = zmax
         self._expand_cache: dict = {}
 
     @property
@@ -82,8 +88,11 @@ class ShardedPackedFeed:
             raise ValueError(f"batch of {n} frames does not divide the data "
                              f"axis ({d}); pad the final chunk")
         per = n // d
-        dec = (self._dec.entropy_decode_split if self._transport == "split"
-               else self._dec.entropy_decode_packed)
+        if self._transport == "split":
+            dec = functools.partial(self._dec.entropy_decode_split,
+                                    zmax=self._zmax)
+        else:
+            dec = self._dec.entropy_decode_packed
         shards = [dec(jpegs[i * per:(i + 1) * per]) for i in range(d)]
         geo = {(s.height, s.width, s.grid) for s in shards}
         if len(geo) != 1:
@@ -125,7 +134,7 @@ class ShardedPackedFeed:
             put(qtables))
 
     def _expand_for(self, h: int, w: int, grid: tuple[int, int]):
-        key = (self._transport, h, w, grid)
+        key = (self._transport, h, w, grid, self._zmax)
         if key not in self._expand_cache:
             from vision_basedsensor_tpu.ops.jpeg import (delta_idct_frames,
                                                          split_idct_frames)
@@ -139,7 +148,8 @@ class ShardedPackedFeed:
                     # Local blocks are (1, cap) / (1, per, 64): one shard.
                     return split_idct_frames(ac[0], dc[0], sg[0], sd[0],
                                              dg[0], dd[0], q[0],
-                                             height=h, width=w, grid=grid)
+                                             height=h, width=w, grid=grid,
+                                             zmax=self._zmax)
                 n_in = 7
             else:
                 def _local(g, v, sg, sd, q):
