@@ -102,7 +102,7 @@ def load_jpeg_lib():
                     ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_uint8),  # DC nibble lane
                     ctypes.POINTER(ctypes.c_uint16),
                     ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_uint16),

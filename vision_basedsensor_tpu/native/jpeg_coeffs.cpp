@@ -380,10 +380,25 @@ struct DeltaVecSink {
 // sized to their statistics (~25% of nonzeros are block DCs with large
 // values and no gap information; ACs have small gaps and small values).
 //
-// * DC: ONE int8 per block, dense — the delta vs the previous block's
-//   absolute quantized DC (first block of each frame deltas from 0, so the
-//   device reconstructs with one per-frame cumsum). |delta| > 127 spills
-//   the remainder to a (gap uint8 over block indices, int16) side stream.
+// * DC: ONE NIBBLE per block, dense, two per byte, with a per-frame FLAG
+//   nibble prepended (frame lane = ceil((blocks+1)/2) whole bytes; nibble
+//   2k = low nibble of byte k; nibble 0 is the flag, block j rides nibble
+//   j+1). The nibble is a clamped-to-[-7, 7] DELTA whose predictor the
+//   encoder picks PER FRAME (the flag):
+//     - flag 0, SPATIAL: the previous block's absolute DC within the
+//       frame (JPEG's own predictor; block 0 deltas from 0) — always
+//       available, wins on scene cuts and noise;
+//     - flag 1, TEMPORAL: the SAME block's absolute DC in the PREVIOUS
+//       frame — MJPEG scenes move slowly, so these deltas are
+//       overwhelmingly 0 and fit the nibble ~98% of the time where
+//       spatial deltas fit int8 only ~87%.
+//   The encoder counts would-be spills under both predictors and takes
+//   the cheaper one, so adversarial (noise) streams degrade to exactly
+//   the spatial cost instead of spilling every block. Residuals
+//   (delta - clamp) spill to the (gap uint16 over block indices, int16)
+//   side stream — no escape codes in the lane itself. The device
+//   reconstructs with a flag-segmented prefix sum over the frame axis
+//   (ops/jpeg.py:split_idct_frames). Halves the round-4 dense int8 lane.
 // * AC: a variable-length byte stream (1 or 2 bytes per entry) in the
 //   nslots-per-block ZIGZAG AC position space (nslots = zmax-1; pos =
 //   block*nslots + zigzag_index-1 — scan order, so JPEG's own run-lengths
@@ -424,8 +439,7 @@ struct SplitSink {
   static constexpr bool kZigzagOrder = true;  // see emit(): zigzag gaps
   uint8_t* ac;
   int64_t ac_cap, ac_n = 0;
-  int8_t* dc;      // exactly n * blocks_per_frame, cursor dc_n
-  int64_t dc_n = 0;
+  uint8_t* dc;     // nibble lane: ceil(blocks/2) bytes per frame
   // Spill gaps are uint16: spills are sparse (mean gap ~100+ positions),
   // so uint8 gaps spent ~half the spill stream on (255, 0) fillers —
   // 4 bytes per real spill beats 3 bytes per (real + filler) entry.
@@ -436,32 +450,73 @@ struct SplitSink {
   int16_t* ddeltas;
   int64_t dcap, dn = 0;
   int64_t prev_ac = -1, sprev = -1, dprev = -1;
-  int32_t pred_dc = 0;           // previous block's absolute DC (per frame)
   int64_t frame_block_base = 0;  // frame_index * blocks_per_frame
   int nslots = 63;               // zmax - 1 AC slots per block (band limit)
+  int blocks_per_frame = 0;      // the real grid (bw*bh): lane addressing
+  int frame_index = 0;           // batch-local
+  int32_t* cur_frame_dc = nullptr;   // this frame's absolute DCs (scratch)
+  int32_t* prev_frame_dc = nullptr;  // previous frame's absolute DCs
+  bool have_prev = false;            // temporal predictor available
+
+  // Per-frame DC flush: pick the cheaper predictor (spills under each),
+  // write the flag + delta nibbles and the spill residuals. Called by the
+  // batch driver after each frame's decode_y.
+  inline int flush_dc() {
+    const int nb = blocks_per_frame;
+    int sp = 0, tp = 0;
+    int32_t prevb = 0;
+    for (int j = 0; j < nb; ++j) {
+      const int32_t d = cur_frame_dc[j] - prevb;
+      prevb = cur_frame_dc[j];
+      sp += (d < -7) | (d > 7);
+    }
+    if (have_prev) {
+      for (int j = 0; j < nb; ++j) {
+        const int32_t d = cur_frame_dc[j] - prev_frame_dc[j];
+        tp += (d < -7) | (d > 7);
+      }
+    }
+    const bool temporal = have_prev && tp <= sp;
+    const int64_t bpf2 = (nb + 2) / 2;  // ceil((nb + 1) / 2) whole bytes
+    uint8_t* lane = dc + static_cast<int64_t>(frame_index) * bpf2;
+    lane[0] = temporal ? 1 : 0;  // flag nibble (high nibble of byte 0 is
+    prevb = 0;                   // block 0's delta, written below)
+    for (int j = 0; j < nb; ++j) {
+      const int32_t d =
+          cur_frame_dc[j] - (temporal ? prev_frame_dc[j] : prevb);
+      prevb = cur_frame_dc[j];
+      const int32_t c = d > 7 ? 7 : (d < -7 ? -7 : d);
+      uint8_t* byte = lane + (j + 1) / 2;
+      if ((j + 1) & 1)
+        *byte |= static_cast<uint8_t>((c & 15) << 4);
+      else
+        *byte = static_cast<uint8_t>(c & 15);
+      if (d != c) {
+        const int64_t gblock = frame_block_base + j;
+        int64_t g = gblock - dprev;
+        while (g > 65535) {
+          if (dn >= dcap) return kErrDcSpillCap;
+          dgaps[dn] = 65535;
+          ddeltas[dn] = 0;
+          ++dn;
+          g -= 65535;
+        }
+        if (dn >= dcap) return kErrDcSpillCap;
+        dgaps[dn] = static_cast<uint16_t>(g);
+        ddeltas[dn] = static_cast<int16_t>(d - c);
+        ++dn;
+        dprev = gblock;
+      }
+    }
+    std::memcpy(prev_frame_dc, cur_frame_dc,
+                static_cast<size_t>(nb) * sizeof(int32_t));
+    have_prev = true;
+    return 0;
+  }
 
   inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
     const int64_t gblock = frame_block_base + block;
-    const int32_t dcv = (mask & 1) ? scratch[0] : 0;
-    const int32_t d = dcv - pred_dc;
-    pred_dc = dcv;
-    const int32_t c = d > 127 ? 127 : (d < -127 ? -127 : d);
-    dc[dc_n++] = static_cast<int8_t>(c);
-    if (d != c) {
-      int64_t g = gblock - dprev;
-      while (g > 65535) {
-        if (dn >= dcap) return kErrDcSpillCap;
-        dgaps[dn] = 65535;
-        ddeltas[dn] = 0;
-        ++dn;
-        g -= 65535;
-      }
-      if (dn >= dcap) return kErrDcSpillCap;
-      dgaps[dn] = static_cast<uint16_t>(g);
-      ddeltas[dn] = static_cast<int16_t>(d - c);
-      ++dn;
-      dprev = gblock;
-    }
+    cur_frame_dc[block] = (mask & 1) ? scratch[0] : 0;
     // Band limit: keep AC slots 1..nslots only (mask bit j = zigzag index).
     uint64_t m = mask & ~1ull;
     if (nslots < 63)
@@ -526,35 +581,75 @@ struct SplitSink {
 struct SplitVecSink {
   static constexpr bool kZigzagOrder = true;
   std::vector<uint8_t> ac;
-  int8_t* dc;  // caller's out_dc + a*blocks_per_frame (disjoint slice)
-  int64_t dc_n = 0;
+  uint8_t* dc;  // caller's out_dc + a*ceil(blocks/2) (disjoint byte slice)
   std::vector<uint16_t> sgaps;
   std::vector<int16_t> sdeltas;
   std::vector<uint16_t> dgaps;
   std::vector<int16_t> ddeltas;
   int64_t prev_ac = -1, sprev = -1, dprev = -1;
-  int32_t pred_dc = 0;
   int64_t frame_block_base = 0;
   int nslots = 63;  // zmax - 1 AC slots per block (band limit)
+  int blocks_per_frame = 0;
+  int frame_index = 0;  // batch-local GLOBAL index
+  int slice_start = 0;  // first frame of this worker's slice
+  std::vector<int32_t> cur_frame_dc;
+  std::vector<int32_t> prev_frame_dc;
+  bool have_prev = false;
+
+  // See SplitSink::flush_dc — vector-backed spills, slice-local lane.
+  inline int flush_dc() {
+    const int nb = blocks_per_frame;
+    int sp = 0, tp = 0;
+    int32_t prevb = 0;
+    for (int j = 0; j < nb; ++j) {
+      const int32_t d = cur_frame_dc[j] - prevb;
+      prevb = cur_frame_dc[j];
+      sp += (d < -7) | (d > 7);
+    }
+    if (have_prev) {
+      for (int j = 0; j < nb; ++j) {
+        const int32_t d = cur_frame_dc[j] - prev_frame_dc[j];
+        tp += (d < -7) | (d > 7);
+      }
+    }
+    const bool temporal = have_prev && tp <= sp;
+    const int64_t bpf2 = (nb + 2) / 2;
+    uint8_t* lane = dc +
+        static_cast<int64_t>(frame_index - slice_start) * bpf2;
+    lane[0] = temporal ? 1 : 0;
+    prevb = 0;
+    for (int j = 0; j < nb; ++j) {
+      const int32_t d =
+          cur_frame_dc[j] - (temporal ? prev_frame_dc[j] : prevb);
+      prevb = cur_frame_dc[j];
+      const int32_t c = d > 7 ? 7 : (d < -7 ? -7 : d);
+      uint8_t* byte = lane + (j + 1) / 2;
+      if ((j + 1) & 1)
+        *byte |= static_cast<uint8_t>((c & 15) << 4);
+      else
+        *byte = static_cast<uint8_t>(c & 15);
+      if (d != c) {
+        const int64_t gblock = frame_block_base + j;
+        int64_t g = gblock - dprev;
+        while (g > 65535) {
+          dgaps.push_back(65535);
+          ddeltas.push_back(0);
+          g -= 65535;
+        }
+        dgaps.push_back(static_cast<uint16_t>(g));
+        ddeltas.push_back(static_cast<int16_t>(d - c));
+        dprev = gblock;
+      }
+    }
+    std::memcpy(prev_frame_dc.data(), cur_frame_dc.data(),
+                static_cast<size_t>(nb) * sizeof(int32_t));
+    have_prev = true;
+    return 0;
+  }
 
   inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
     const int64_t gblock = frame_block_base + block;
-    const int32_t dcv = (mask & 1) ? scratch[0] : 0;
-    const int32_t d = dcv - pred_dc;
-    pred_dc = dcv;
-    const int32_t c = d > 127 ? 127 : (d < -127 ? -127 : d);
-    dc[dc_n++] = static_cast<int8_t>(c);
-    if (d != c) {
-      int64_t g = gblock - dprev;
-      while (g > 65535) {
-        dgaps.push_back(65535);
-        ddeltas.push_back(0);
-        g -= 65535;
-      }
-      dgaps.push_back(static_cast<uint16_t>(g));
-      ddeltas.push_back(static_cast<int16_t>(d - c));
-      dprev = gblock;
-    }
+    cur_frame_dc[block] = (mask & 1) ? scratch[0] : 0;
     uint64_t m = mask & ~1ull;
     if (nslots < 63)
       m &= (1ull << (nslots + 1)) - 1;
@@ -1073,8 +1168,10 @@ int vbs_mjpeg_batch_y_coeffs_delta_mt(
 // SPLIT batch variant: DC/AC-separated transport (see SplitSink) — the
 // lowest-byte lossless format for link-bound host->TPU ingest.
 //
-//   out_ac      : uint8[ac_cap] AC entry bytes (gap-1 | value<<3, escapes)
-//   out_dc      : int8[n * blocks_per_frame] per-block DC deltas (dense)
+//   out_ac      : uint8[ac_cap] AC entry bytes (gap-1 | code<<3; SHORT/
+//                 EXT/escape framing per the SplitSink header)
+//   out_dc      : uint8[n * ceil(blocks_per_frame/2)] per-block DC delta
+//                 nibble lane (keyframe-spatial / temporal prediction)
 //   out_sgaps/out_sdeltas : AC spill stream (uint16 gaps over AC positions)
 //   out_dgaps/out_ddeltas : DC spill stream (uint16 gaps over block indices)
 //   out_counts  : int64[3] = {ac bytes, AC spills, DC spills}
@@ -1088,21 +1185,26 @@ int vbs_mjpeg_batch_y_coeffs_delta_mt(
 // Multi-core hosts use the _split_mt variant below.
 int vbs_mjpeg_batch_y_coeffs_split(
     const uint8_t* data, const int64_t* offsets, const int32_t* sizes, int n,
-    uint8_t* out_ac, int64_t ac_cap, int8_t* out_dc, uint16_t* out_sgaps,
+    uint8_t* out_ac, int64_t ac_cap, uint8_t* out_dc, uint16_t* out_sgaps,
     int16_t* out_sdeltas, int64_t scap, uint16_t* out_dgaps,
     int16_t* out_ddeltas, int64_t dcap, int64_t* out_counts,
     int blocks_per_frame, int* out_meta, uint16_t* out_qtable, int zmax) {
   if (zmax < 2 || zmax > 64) zmax = 64;
   int meta[4];
-  SplitSink sink{out_ac,    ac_cap,      0, out_dc,   0,
-                 out_sgaps, out_sdeltas, scap, 0,     out_dgaps,
-                 out_ddeltas, dcap,      0};
+  SplitSink sink{out_ac,    ac_cap, 0,    out_dc,    out_sgaps,
+                 out_sdeltas, scap, 0,    out_dgaps, out_ddeltas,
+                 dcap,      0};
   sink.nslots = zmax - 1;
+  sink.blocks_per_frame = blocks_per_frame;
+  std::vector<int32_t> cdc(static_cast<size_t>(blocks_per_frame), 0);
+  std::vector<int32_t> pdc(static_cast<size_t>(blocks_per_frame), 0);
+  sink.cur_frame_dc = cdc.data();
+  sink.prev_frame_dc = pdc.data();
   std::vector<int16_t> stage;
   std::vector<uint64_t> stage_mask;
   for (int i = 0; i < n; ++i) {
     sink.frame_block_base = static_cast<int64_t>(i) * blocks_per_frame;
-    sink.pred_dc = 0;  // JPEG resets DC prediction per scan = per frame
+    sink.frame_index = i;
     const int rc = decode_y(data + offsets[i], sizes[i], sink,
                             blocks_per_frame, i == 0 ? out_meta : meta,
                             out_qtable + static_cast<size_t>(i) * 64, &stage,
@@ -1113,6 +1215,8 @@ int vbs_mjpeg_batch_y_coeffs_split(
     if (i > 0 && (meta[0] != out_meta[0] || meta[1] != out_meta[1] ||
                   meta[2] != out_meta[2] || meta[3] != out_meta[3]))
       return i;
+    const int frc = sink.flush_dc();
+    if (frc < 0) return frc;
   }
   out_counts[0] = sink.ac_n;
   out_counts[1] = sink.sn;
@@ -1124,8 +1228,14 @@ int vbs_mjpeg_batch_y_coeffs_split(
 // slicing model). Frames are independent, so the batch splits into
 // contiguous frame slices decoded on worker threads. Stitching is SIMPLER
 // than delta's:
-//  * DC deltas are position-independent (per-frame prediction reset), so
-//    workers write their disjoint dense ranges directly — no stitching.
+//  * DC nibbles write directly into the caller's lane (frame lanes are
+//    whole disjoint bytes) — no stitching. The per-frame predictor FLAG
+//    makes slices self-contained: workers t > 0 simply encode their first
+//    frame spatially (the encoder's always-available choice); worker 0
+//    starts at frame 1 and inherits frame 0's absolute DCs from the
+//    serial frame-0 decode, so it keeps the temporal option. Decoded
+//    output is identical to the serial variant's; slice-start frames may
+//    pick a different (still exact) predictor, so lane BYTES may differ.
 //  * AC byte slices are kept VERBATIM: a slice encodes its first gap
 //    relative to its base position (a*blocks*63 - 1), so the main thread
 //    only emits BRIDGE bytes (escapes + zero-value fillers) advancing from
@@ -1141,7 +1251,7 @@ int vbs_mjpeg_batch_y_coeffs_split(
 // batches short-circuit to it.
 int vbs_mjpeg_batch_y_coeffs_split_mt(
     const uint8_t* data, const int64_t* offsets, const int32_t* sizes, int n,
-    uint8_t* out_ac, int64_t ac_cap, int8_t* out_dc, uint16_t* out_sgaps,
+    uint8_t* out_ac, int64_t ac_cap, uint8_t* out_dc, uint16_t* out_sgaps,
     int16_t* out_sdeltas, int64_t scap, uint16_t* out_dgaps,
     int16_t* out_ddeltas, int64_t dcap, int64_t* out_counts,
     int blocks_per_frame, int* out_meta, uint16_t* out_qtable, int zmax,
@@ -1159,22 +1269,30 @@ int vbs_mjpeg_batch_y_coeffs_split_mt(
                                           out_qtable, zmax);
 
   // Frame 0 decodes serially into the caller's buffers: it establishes the
-  // geometry contract the workers validate against.
-  SplitSink sink{out_ac,    ac_cap,      0, out_dc,   0,
-                 out_sgaps, out_sdeltas, scap, 0,     out_dgaps,
-                 out_ddeltas, dcap,      0};
+  // geometry contract the workers validate against, and its absolute DCs
+  // seed worker 0's temporal predictor.
+  SplitSink sink{out_ac,    ac_cap, 0,    out_dc,    out_sgaps,
+                 out_sdeltas, scap, 0,    out_dgaps, out_ddeltas,
+                 dcap,      0};
   sink.nslots = nslots;
+  sink.blocks_per_frame = blocks_per_frame;
+  std::vector<int32_t> frame0_cur(static_cast<size_t>(blocks_per_frame), 0);
+  std::vector<int32_t> frame0_dc(static_cast<size_t>(blocks_per_frame), 0);
+  sink.cur_frame_dc = frame0_cur.data();
+  sink.prev_frame_dc = frame0_dc.data();
   {
     std::vector<int16_t> stage;
     std::vector<uint64_t> stage_mask;
     sink.frame_block_base = 0;
-    sink.pred_dc = 0;
+    sink.frame_index = 0;
     const int rc = decode_y(data + offsets[0], sizes[0], sink,
                             blocks_per_frame, out_meta, out_qtable, &stage,
                             &stage_mask);
     if (rc == kErrAcCap || rc == kErrAcSpillCap || rc == kErrDcSpillCap)
       return rc;
     if (rc != 0) return 0;
+    const int frc = sink.flush_dc();  // leaves frame 0's DCs in frame0_dc
+    if (frc < 0) return frc;
   }
 
   struct Slice {
@@ -1192,23 +1310,35 @@ int vbs_mjpeg_batch_y_coeffs_split_mt(
   }
 
   const int64_t bpf = blocks_per_frame;
+  const int64_t bpf2 = (bpf + 2) / 2;  // nibble lane bytes per frame
   std::vector<std::thread> workers;
   workers.reserve(n_threads);
   for (int t = 0; t < n_threads; ++t) {
     Slice* s = &slices[t];
+    const int32_t* seed = (t == 0) ? frame0_dc.data() : nullptr;
     workers.emplace_back([=]() {
+      if (s->a >= s->b) return;
       int meta_l[4];
       std::vector<int16_t> stage;
       std::vector<uint64_t> stage_mask;
       s->sink.nslots = nslots;
-      s->sink.dc = out_dc + static_cast<int64_t>(s->a) * bpf;
+      s->sink.blocks_per_frame = static_cast<int>(bpf);
+      s->sink.slice_start = s->a;
+      s->sink.dc = out_dc + static_cast<int64_t>(s->a) * bpf2;
+      s->sink.cur_frame_dc.assign(static_cast<size_t>(bpf), 0);
+      if (seed) {  // worker 0 starts at frame 1: temporal vs frame 0
+        s->sink.prev_frame_dc.assign(seed, seed + bpf);
+        s->sink.have_prev = true;
+      } else {     // others' first frame encodes spatially (have_prev off)
+        s->sink.prev_frame_dc.assign(static_cast<size_t>(bpf), 0);
+      }
       s->sink.prev_ac = static_cast<int64_t>(s->a) * bpf * nslots - 1;
       s->sink.sprev = s->sink.prev_ac;
       s->sink.dprev = static_cast<int64_t>(s->a) * bpf - 1;
       s->sink.ac.reserve(static_cast<size_t>(s->b - s->a) * bpf * 5);
       for (int i = s->a; i < s->b; ++i) {
         s->sink.frame_block_base = static_cast<int64_t>(i) * bpf;
-        s->sink.pred_dc = 0;
+        s->sink.frame_index = i;
         const int rc = decode_y(data + offsets[i], sizes[i], s->sink, bpf,
                                 meta_l,
                                 out_qtable + static_cast<size_t>(i) * 64,
@@ -1218,6 +1348,7 @@ int vbs_mjpeg_batch_y_coeffs_split_mt(
           s->fail = i;
           return;
         }
+        s->sink.flush_dc();  // vector-backed: cannot fail
       }
     });
   }

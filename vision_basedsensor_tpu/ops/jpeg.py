@@ -294,8 +294,14 @@ def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
         (the scatter becomes a sorted ADD; each position still receives
         exactly one nonzero). No gathers — a gather per entry would
         serialize on TPU (module header).
-      dc: ``(B*blocks,)`` int8 per-block DC deltas (vs the previous block,
-        first block of each frame vs 0) — dense, no padding.
+      dc: ``(B*ceil((blocks+1)/2),)`` uint8 per-block DC delta NIBBLE lane
+        (nibble 2k = low nibble of byte k; frame lanes are whole bytes).
+        Nibble 0 of each frame is the predictor FLAG the encoder chose
+        for that frame (0 = spatial: each block vs the previous block,
+        block 0 vs 0; 1 = temporal: each block vs the same block of the
+        previous frame); block j rides nibble j+1 as its delta clamped to
+        [-7, 7]. Residuals ride the dgaps/ddeltas spill stream. Dense, no
+        padding. See native/jpeg_coeffs.cpp SplitSink.
       sgaps/sdeltas: AC spill stream (uint16 gaps over AC positions /
         int16 remainders for |v| > 15); tail padding (gap=0, delta=0) —
         zero adds are no-ops wherever they land, so pads can never overrun
@@ -351,11 +357,31 @@ def split_idct_frames(ac: jnp.ndarray, dc: jnp.ndarray, sgaps: jnp.ndarray,
     # duplicates would be UB).
     flat = flat.at[spos].add(sdeltas, mode="drop", unique_indices=False,
                              indices_are_sorted=True)
-    d = dc.astype(jnp.int32)
+    # DC nibble lane -> per-frame flag + clamped deltas (nibble 2k = low
+    # nibble of byte k; sign-extend 4 bits), then the spill residuals.
+    bpf2 = (blocks + 2) // 2  # ceil((blocks + 1) / 2): flag + blocks
+    dcb = dc.reshape(b, bpf2)
+    nib = jnp.stack([dcb & 15, dcb >> 4], axis=-1).reshape(b, 2 * bpf2)
+    spatial = (nib[:, 0] & 1) == 0
+    spatial = spatial.at[0].set(True)  # frame 0 has no temporal predictor
+    d = ((nib[:, 1:blocks + 1].astype(jnp.int32) ^ 8) - 8)
+    d = d.reshape(b * blocks)
     dpos = jnp.cumsum(dgaps.astype(jnp.int32)) - 1
     d = d.at[dpos].add(ddeltas.astype(jnp.int32), mode="drop",
                        unique_indices=False, indices_are_sorted=True)
-    dcv = jnp.cumsum(d.reshape(b, blocks), axis=1).astype(jnp.int16)
+    # Flag-segmented reconstruction: spatial frames are self-contained
+    # (cumsum over blocks = segment leaders); temporal frames stack their
+    # deltas on the leader via a frame-axis prefix sum rebased per segment
+    # (one row-take per frame — row gathers amortize; it is per-ELEMENT
+    # gathers that serialize on TPU, module header).
+    d = d.reshape(b, blocks)
+    lead = jnp.cumsum(d, axis=-1)
+    base = jnp.where(spatial[:, None], lead, d)
+    csum = jnp.cumsum(base, axis=0)
+    seg = jax.lax.cummax(jnp.where(spatial, jnp.arange(b, dtype=jnp.int32),
+                                   jnp.int32(0)))
+    dcv = (csum - jnp.take(csum, seg, axis=0)
+           + jnp.take(base, seg, axis=0)).astype(jnp.int16)
     # [dc | zz1..zz(zmax-1)] IS the zigzag-ordered coefficient (prefix)
     # vector (zigzag position 0 is the DC); the inverse permutation rides
     # the IDCT basis, whose row count shrinks with the band limit.
@@ -727,8 +753,9 @@ class MjpegBatchDecoder:
             meta = (ctypes.c_int32 * 4)()
             qtables = np.empty((n, 64), np.uint16)
             counts = np.zeros(3, np.int64)
-            if self._dc is None or self._dc.size < n * blocks:
-                self._dc = np.empty(n * blocks, np.int8)
+            bpf2 = (blocks + 2) // 2  # nibble lane: flag + blocks nibbles
+            if self._dc is None or self._dc.size < n * bpf2:
+                self._dc = np.empty(n * bpf2, np.uint8)
             while True:
                 if self._ac is None or self._ac.size < self._accap:
                     self._ac = np.empty(self._accap, np.uint8)
@@ -742,7 +769,7 @@ class MjpegBatchDecoder:
                     *args,
                     self._ac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     self._accap,
-                    self._dc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    self._dc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     self._asg.ctypes.data_as(
                         ctypes.POINTER(ctypes.c_uint16)),
                     self._asd.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
@@ -792,8 +819,8 @@ class MjpegBatchDecoder:
                 "split transport: tail-pad positions would exceed the "
                 "int32 position space; split the batch")
         ac = self._ac[:a_b].copy()
-        ac[a_n:] = 0x87  # escape x 504: positions overrun and drop
-        dc = self._dc[:n * blocks].copy()
+        ac[a_n:] = 0x87  # escape x 8 blocks: positions overrun and drop
+        dc = self._dc[:n * ((blocks + 2) // 2)].copy()
         sgaps = self._asg[:s_b].copy()
         sdeltas = self._asd[:s_b].copy()
         sgaps[s_n:] = 0
@@ -804,8 +831,8 @@ class MjpegBatchDecoder:
         ddeltas[d_n:] = 0
         stats = {
             "transport": "split", "frames": n, "nnz": a_n, "zmax": zmax,
-            "bytes_shipped": (a_b + n * blocks + 4 * s_b + 4 * d_b
-                              + qtables.nbytes),
+            "bytes_shipped": (a_b + n * ((blocks + 2) // 2) + 4 * s_b
+                              + 4 * d_b + qtables.nbytes),
             "bytes_dense": n * blocks * 128 + qtables.nbytes,
         }
         self.last_stats = stats
