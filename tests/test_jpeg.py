@@ -523,3 +523,151 @@ def test_multithreaded_split_error_protocol():
     dec.decode_split(good)  # learn geometry
     with pytest.raises(ValueError, match="frame 4"):
         dec.decode_split(good[:4] + [good[4][:40]] + good[5:])
+
+
+def test_split_vlc_ext_values_exact():
+    """The 1/2-byte VLC framing: values outside the 5-bit short range
+    ([-14, 15]) ride EXT pairs; |v| > 127 still spills. Frames built to
+    hit every class (tiny values, 16..127 band, extreme edges) must
+    reproduce the dense path bitwise."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    shape = (96, 128)
+    imgs = [np.full(shape, 100, np.uint8),
+            _textured(*shape, seed=1),
+            (_textured(*shape, seed=2) > 127).astype(np.uint8) * 255]
+    # A one-pixel impulse per block center maximizes per-block AC spread.
+    imp = np.full(shape, 64, np.uint8)
+    imp[4::8, 4::8] = 255
+    imgs.append(imp)
+    jpegs = [cv2.imencode(".jpg", i, [cv2.IMWRITE_JPEG_QUALITY, q])[1]
+             .tobytes() for i in imgs for q in (20, 95)]
+    dec = MjpegBatchDecoder()
+    dense = np.asarray(dec.decode(jpegs))
+    split = np.asarray(dec.decode_split(jpegs))
+    assert (dense == split).all()
+
+
+def test_split_all_uniform_batch():
+    """A batch with NO AC entries and NO spills at all: every spill stream
+    is pure (gap=0, delta=0) tail padding, whose cumsum lands at -1 —
+    the zero-adds must be no-ops (they wrap to the last element on TPU
+    semantics) and the frames must still match dense. Regression for the
+    round-4 padding scheme whose 65535-gap pads overflowed the int32
+    position guard on spill-heavy real streams."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    jpegs = [cv2.imencode(".jpg", np.full((64, 96), v, np.uint8),
+                          [cv2.IMWRITE_JPEG_QUALITY, 70])[1].tobytes()
+             for v in (128, 129, 130)]
+    dec = MjpegBatchDecoder()
+    dense = np.asarray(dec.decode(jpegs))
+    split = np.asarray(dec.decode_split(jpegs))
+    assert (dense == split).all()
+
+
+def test_split_dc_adaptive_prediction():
+    """The DC lane's per-frame flag must pick TEMPORAL on a slow-moving
+    sequence (deltas ~0) and SPATIAL on a scene cut (temporal deltas
+    explode) — and decode exactly either way. Frame 0 is always spatial
+    (no temporal predictor exists)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    base = _textured(96, 128, seed=4)
+    rng = np.random.default_rng(0)
+    frames = [base]
+    for _ in range(3):  # slow drift
+        frames.append(np.clip(frames[-1].astype(np.int16)
+                              + rng.integers(-1, 2, base.shape), 0,
+                              255).astype(np.uint8))
+    frames.append(255 - base)  # scene cut
+    jpegs = [cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 70])[1]
+             .tobytes() for f in frames]
+    dec = MjpegBatchDecoder()
+    dense = np.asarray(dec.decode(jpegs))
+    hs = dec.entropy_decode_split(jpegs)
+    assert (np.asarray(dec.split_to_device(hs)) == dense).all()
+    blocks = hs.grid[0] * hs.grid[1]
+    bpf2 = (blocks + 2) // 2
+    flags = hs.dc[np.arange(len(frames)) * bpf2] & 1
+    assert flags[0] == 0                    # spatial: nothing to predict from
+    assert flags[1:4].sum() == 3            # slow drift -> temporal
+    assert flags[4] == 0                    # scene cut -> spatial wins
+
+
+@pytest.mark.parametrize("zmax", [2, 6, 15, 22])
+def test_split_band_limit_matches_zeroed_dense(zmax):
+    """The zmax band limit must equal the dense decode with zigzag scan
+    indices >= zmax zeroed — EXACTLY (the shrunken IDCT basis is the same
+    linear map as zero-padding the dropped coefficients)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import (MjpegBatchDecoder,
+                                                 idct_frames, _ZIGZAG)
+    jpegs = [cv2.imencode(".jpg", _textured(96, 128, seed=s),
+                          [cv2.IMWRITE_JPEG_QUALITY, q])[1].tobytes()
+             for s, q in ((0, 70), (1, 95), (2, 30))]
+    dec = MjpegBatchDecoder()
+    hd = dec.entropy_decode_dense(jpegs)
+    out = np.asarray(dec.decode_split(jpegs, zmax=zmax))
+    co = hd.coeffs.copy()
+    rank = np.empty(64, np.int64)
+    rank[_ZIGZAG] = np.arange(64)
+    co.reshape(-1, 64)[:, rank >= zmax] = 0
+    ref = np.asarray(idct_frames(jnp.asarray(co), jnp.asarray(hd.qtables),
+                                 height=hd.height, width=hd.width))
+    assert (out == ref).all()
+
+
+@pytest.mark.parametrize("workers", [2, 5])
+def test_multithreaded_split_band_limit_matches_serial(workers):
+    """MT + zmax: slice bridging runs in the shrunken position space."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    jpegs = [cv2.imencode(".jpg", _textured(120, 160, seed=s),
+                          [cv2.IMWRITE_JPEG_QUALITY, 70])[1].tobytes()
+             for s in range(9)]
+    serial = np.asarray(
+        MjpegBatchDecoder(workers=1).decode_split(jpegs, zmax=10))
+    mt = np.asarray(
+        MjpegBatchDecoder(workers=workers).decode_split(jpegs, zmax=10))
+    assert (serial == mt).all()
+
+
+@pytest.mark.slow
+def test_split_band_limit_detect_envelope():
+    """End-to-end accuracy contract of the DETECT-GRADE band limit on a
+    rendered q70 sensor stream: every marker must still detect and match
+    within the association gate, centroids within ~1.5 px of the exact
+    decode (the q70 floor itself measures ~0.4 px p99) — while photometric
+    AXES may drift several px (measured p99 ~5.8 at zmax=15), which is why
+    the band limit is an opt-in tracking-grade profile, NOT the default:
+    diameters feed depth reconstruction (ops/jpeg.py module header)."""
+    _lib_or_skip()
+    import jax
+
+    from vision_basedsensor_tpu.config import PipelineConfig
+    from vision_basedsensor_tpu.detect.detector import detect_markers
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    from vision_basedsensor_tpu.synth import default_scene, render_frames
+
+    scene = default_scene(height=480, width=640)
+    d = jnp.zeros((2, 65, 3), jnp.float32)
+    d = d.at[:, :, 2].add(-0.02 * jnp.arange(2)[:, None])
+    frames = np.asarray(jax.block_until_ready(
+        render_frames(scene, d))).astype(np.uint8)
+    jpegs = [cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 70])[1]
+             .tobytes() for f in frames]
+    dec = MjpegBatchDecoder()
+    cfg = PipelineConfig()
+    base = jax.tree.map(np.asarray,
+                        detect_markers(dec.decode_split(jpegs), cfg.detect))
+    z15 = jax.tree.map(np.asarray, detect_markers(
+        dec.decode_split(jpegs, zmax=15), cfg.detect))
+    for b in range(2):
+        vb = base.valid[b].astype(bool)
+        vz = z15.valid[b].astype(bool)
+        pb, pz = base.xy[b][vb], z15.xy[b][vz]
+        assert len(pz) >= len(pb) - 1  # no wholesale detection loss
+        dist = np.linalg.norm(pb[:, None] - pz[None], axis=-1).min(1)
+        assert (dist < 3.0).all()      # every marker still matches its peer
+        assert np.percentile(dist, 99) < 1.5
