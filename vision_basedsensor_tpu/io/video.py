@@ -225,12 +225,12 @@ class MjpegAviTpuSource(VideoSource):
 
     def __init__(self, path: str, fps: float = 12.0,
                  transport: str = "split", zmax: int = 64):
-        """``transport``: ``split`` (default — DC/AC-separated streams,
-        fewest link bytes, ~24 KB/frame at 480p q70), ``packed`` (2-byte
+        """``transport``: ``split`` (default — DC/AC-separated VLC streams,
+        fewest link bytes, ~22 KB/frame at 480p q70), ``packed`` (2-byte
         delta pairs), or ``dense`` (full coefficient tensor, the
         ablation). ``zmax`` (split only, 2..64): zigzag band limit —
-        64 decodes exactly; lower values are the detect-grade profile
-        (ops/jpeg.py header) at a further large byte cut."""
+        64 decodes exactly; lower values are the opt-in tracking-grade
+        profile (ops/jpeg.py header) at a further large byte cut."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
         if transport not in ("split", "packed", "dense"):
             raise ValueError(

@@ -21,32 +21,40 @@ Three transports feed the device:
   must scale with the NONZEROS, not the dense size (the earlier bitmask
   format's per-output-element gather served ~1 s/batch vs the scatter's
   ~35 ms).
-* SPLIT (default, round 4): PACKED's pairs still waste bytes on both entry
-  classes — block DCs (~25% of nonzeros) are large values needing no gap,
-  ACs have tiny zigzag run-lengths and small values. DCs ride a dense int8
-  per-block DELTA lane (device rebuilds by one per-frame cumsum — no
-  scatter at all); ACs ride ONE byte each in ZIGZAG order (3-bit gap,
-  5-bit value; an escape code skips whole empty blocks), the inverse
-  zigzag permutation folded into the IDCT basis matrix for free. uint16-gap
-  int16 spill side streams carry the clamps. ~33 KB/frame on the bench
-  stream, 27.5 at q70 — the fewest link bytes of the three, which is the
-  whole game on a link-bound attachment (benchmarks/README.md).
+* SPLIT (default; round 4, VLC'd + adaptive-DC'd in round 5): PACKED's
+  pairs still waste bytes on both entry classes — block DCs (~25% of
+  nonzeros) are large values needing no gap, ACs have tiny zigzag
+  run-lengths and small values. DCs ride a dense per-block NIBBLE delta
+  lane whose predictor the encoder picks per frame (spatial = previous
+  block, temporal = previous frame; a flag nibble per frame — the device
+  rebuilds with a flag-segmented prefix sum, no scatter at all); ACs ride
+  a self-synchronizing 1-or-2-byte VLC in ZIGZAG order (3-bit gap + 5-bit
+  value short form; an EXT code carries int8 values, an escape code skips
+  whole empty blocks), the inverse zigzag permutation folded into the
+  IDCT basis matrix for free. uint16-gap int16 spill side streams carry
+  the rare clamps (|AC| > 127 / |DC delta| > 7 residuals). ~22.4 KB/frame
+  on the q70 480p bench stream (26.0 on the round-4 default-quality
+  stream that shipped 33.4 then) — the fewest link bytes of the three,
+  which is the whole game on a link-bound attachment
+  (benchmarks/README.md).
 
 The SPLIT transport additionally takes a ``zmax`` band limit (round 5):
 AC coefficients at zigzag scan index >= zmax are dropped at the host
-encoder and the position space shrinks to zmax-1 slots per block (the IDCT
-basis matmul shrinks with it). zmax=64 is exact; lower values are the
-DETECT-GRADE profile for link-bound ingest. Why this is sound for the
-marker pipeline: its first operation on every frame is a Gaussian blur
-with sigma >= 4.56 px (marker_detection.py:118-124 constants; sigma 8+ in
-the >480p profile), which attenuates an 8x8 DCT mode (k, l) by
-exp(-2 pi^2 sigma^2 ((k/16)^2 + (l/16)^2)) — for k+l = 4 that is < 3e-6,
-for k+l >= 5 it is < 1e-9. zmax=15 keeps every mode with k+l <= 4, so the
-dropped tail is invisible to the band/NCC/peak stages at f32, and the
-windowed-moment stages see only the raw-pixel ringing the blur never
-touches — measured end to end at < 0.02 px centroid / < 0.1% diameter
-drift (tests/test_jpeg.py band-limit envelope). ~40% fewer AC bytes on a
-q70 stream; host emit work shrinks with the entry count.
+encoder and the position space shrinks to zmax-1 slots per block (the
+IDCT basis matmul shrinks with it). zmax=64 is exact; lower values are an
+OPT-IN tracking-grade profile for link-bound ingest (12.4 KB/frame at
+zmax=15 on the q70 bench stream vs 22.4 exact). The physics: the
+pipeline's blurred stages (DoG band, NCC, peaks) see nothing — a Gaussian
+blur of sigma >= 4.56 px (marker_detection.py:118-124) attenuates every
+8x8 DCT mode with k+l >= 5 below 1e-9, and zmax=15 keeps all modes with
+k+l <= 4. The PHOTOMETRIC MOMENT stage however reads raw pixels, where
+the dropped tail is real marker-edge energy: measured end to end on a
+rendered q70 sensor stream, zmax=15 keeps every marker detected and
+matched (centroid shift p99 ~1.0 px vs the exact decode; the q70 floor
+itself is ~0.4 px) but drifts photometric AXES by up to ~6 px p99 —
+diameters feed depth reconstruction, so the band limit is NOT the
+default and never headlines the bench (tests/test_jpeg.py band-limit
+envelope pins the contract).
 
 This is the framework's answer to the host-decode ingest wall
 (benchmarks/README.md): on a 1-core driver host, full libjpeg decode
