@@ -111,19 +111,41 @@ def main(batch: int = 256, iters: int = 6):
                                            prof, w)
         return sums.sum()
 
+    def s5m(gray):
+        from vision_basedsensor_tpu.ops.moments import \
+            moments_from_patches_paired_mxu
+        from vision_basedsensor_tpu.ops.pallas.moments import \
+            gather_windows_paired
+        packed, peaks = _to_peaks(gray)
+        geom = jax.vmap(cut_geometry)(peaks)
+        patches, pstart = gather_windows_paired(packed, peaks, geom, prof)
+        sums = moments_from_patches_paired_mxu(patches, pstart, peaks, geom,
+                                               prof, w)
+        return sums.sum()
+
     def s6(gray):
         det, scale = detect_markers_and_scale(gray, cfg)
         return det.xy.sum() + det.score.sum() + scale
 
-    # The two (paired) rows are ALTERNATIVES to the rows above them —
-    # compare their absolute values against +cut_geom+gather /
-    # +moments_from_patches; the printed "+delta" column only means
-    # "vs previous row" for the cumulative rows.
+    import dataclasses
+
+    def s6m(gray):
+        det, scale = detect_markers_and_scale(
+            gray, dataclasses.replace(cfg, moment_mxu_basis=True))
+        return det.xy.sum() + det.score.sum() + scale
+
+    # The alt rows are ALTERNATIVES to the rows above them — compare their
+    # absolute values against +cut_geom+gather / +moments_from_patches; the
+    # printed "+delta" column only means "vs previous row" for the
+    # cumulative rows. The e2e A/B that decides the MXU-basis lever is the
+    # "full detect" vs "full detect (mxu)" pair (stage rows hide
+    # consumer-driven fusion splits).
     stages = [("filters(DoG+NCC)", s1), ("+fused_fields", s2),
               ("+select_peaks(top_k)", s3), ("+cut_geom+gather", s4),
               ("+moments_from_patches", s5),
               ("alt: gather paired", s4p), ("alt: moments paired", s5p),
-              ("full detect", s6)]
+              ("alt: moments paired MXU", s5m),
+              ("full detect", s6), ("full detect (mxu)", s6m)]
 
     prev = 0.0
     for name, fn in stages:

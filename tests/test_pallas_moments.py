@@ -335,3 +335,96 @@ def test_pallas_rejects_unaligned_heights(fields):
     frame = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))
     det = detect_markers(frame, DetectConfig(backend="pallas"))  # no raise
     assert np.asarray(det.valid).shape[-1] == DetectConfig().max_candidates
+
+
+def test_paired_mxu_sums_match_fused(fields):
+    """MXU raw-moment basis backend (two fixed-basis matmuls + binomial
+    shift, ops/moments.py:moments_from_patches_paired_mxu) vs the fused
+    VPU-reduction paired backend on the rendered scene's real peak set.
+    Third-moment sums reach ~1e5 with basis terms ~3e4, so the
+    accumulation-order difference budget is larger than backend pairs
+    that share the reduction structure."""
+    from vision_basedsensor_tpu.ops.moments import (
+        moments_from_patches_paired, moments_from_patches_paired_mxu)
+    from vision_basedsensor_tpu.ops.pallas.moments import gather_windows_paired
+
+    cfg, prof, gray, band, area_open, peaks = fields
+    geom = cut_geometry(peaks)
+    packed = gray + 256.0 * band + 512.0 * area_open
+    bp = jax.tree.map(lambda v: v[None], peaks)
+    bg = jax.tree.map(lambda v: v[None], geom)
+    patches, pstart = gather_windows_paired(packed[None], bp, bg, prof)
+    s_ref = np.asarray(moments_from_patches_paired(
+        patches, pstart, bp, bg, prof, gray.shape[-1]))[0]
+    s_mxu = np.asarray(moments_from_patches_paired_mxu(
+        patches, pstart, bp, bg, prof, gray.shape[-1]))[0]
+    valid = np.asarray(peaks.valid)
+    a, b = s_ref[valid], s_mxu[valid]
+    fin = np.isfinite(a)
+    np.testing.assert_array_equal(fin, np.isfinite(b))
+    # Exact-integrand columns (counts) must agree to f32 exactness.
+    np.testing.assert_allclose(a[:, 23], b[:, 23], rtol=0, atol=1e-3)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-4, atol=0.5)
+
+
+def test_paired_mxu_border_peaks_match_fused():
+    """Border/corner peaks: the patch-start clip makes the shift offsets
+    large (|ox| up to ~patch/2), the worst case for the binomial shift's
+    f32 cancellation — sums must still agree within the moment budget."""
+    from vision_basedsensor_tpu.config import PipelineConfig
+    from vision_basedsensor_tpu.ops.moments import (
+        moments_from_patches_paired, moments_from_patches_paired_mxu)
+    from vision_basedsensor_tpu.ops.pallas.moments import gather_windows_paired
+    from vision_basedsensor_tpu.ops.peaks import Peaks
+
+    cfg = PipelineConfig().detect
+    prof = cfg.low_res
+    rng = np.random.default_rng(23)
+    h, w = 240, 384
+    gray = jnp.asarray(rng.integers(0, 256, (1, h, w)), jnp.float32)
+    band = jnp.asarray(rng.random((1, h, w)) > 0.7, jnp.float32)
+    area_open = jnp.asarray(rng.random((1, h, w)) > 0.6, jnp.float32)
+    packed = gray + 256.0 * band + 512.0 * area_open
+
+    k = cfg.max_candidates
+    edge_xy = np.full((k, 2), 60.0, np.float32)
+    edge_xy[:10] = [[w - 5, h / 2], [w - 1.3, h / 2], [w - 17.5, 40.0],
+                    [w - 5, 1.5], [w - 5, h - 2.0], [1.5, 1.5],
+                    [1.5, h - 1.5], [w / 2, h - 1.2], [w / 2, h / 2],
+                    [w - 2.0, h - 2.0]]
+    valid = jnp.arange(k) < 10
+    peaks = Peaks(xy=jnp.asarray(edge_xy), score=jnp.ones(k), valid=valid)
+    geom = cut_geometry(peaks)
+    bp = jax.tree.map(lambda v: v[None], peaks)
+    bg = jax.tree.map(lambda v: v[None], geom)
+    patches, pstart = gather_windows_paired(packed, bp, bg, prof)
+    s_ref = np.asarray(moments_from_patches_paired(patches, pstart, bp, bg,
+                                                   prof, w))[0]
+    s_mxu = np.asarray(moments_from_patches_paired_mxu(patches, pstart, bp,
+                                                       bg, prof, w))[0]
+    v = np.asarray(valid)
+    a, b = s_ref[v], s_mxu[v]
+    fin = np.isfinite(a)
+    np.testing.assert_array_equal(fin, np.isfinite(b))
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-4, atol=0.5)
+
+
+def test_detect_mxu_basis_end_to_end(fields):
+    """Flag plumbing: detect with moment_mxu_basis=True must agree with the
+    default backend on every detection-level output (positions to 1e-2 px,
+    same valid set) on a rendered scene."""
+    import dataclasses
+
+    scene = default_scene(240, 384)
+    frame = render_frames(scene, jnp.zeros((1, 65, 3), jnp.float32))
+    cfg = DetectConfig(backend="pallas")
+    det_f = detect_markers(frame, cfg)
+    det_m = detect_markers(frame,
+                           dataclasses.replace(cfg, moment_mxu_basis=True))
+    np.testing.assert_array_equal(np.asarray(det_f.valid),
+                                  np.asarray(det_m.valid))
+    v = np.asarray(det_f.valid)
+    np.testing.assert_allclose(np.asarray(det_f.xy)[v],
+                               np.asarray(det_m.xy)[v], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(det_f.axes)[v],
+                               np.asarray(det_m.axes)[v], atol=5e-2)

@@ -115,6 +115,12 @@ class DetectConfig:
     # pixels can flip, moving centroids by ~0.01 px. Off by default for
     # bit-level parity with the f32 path.
     fast_filters: bool = False
+    # Compute the paired-window moment sums via the MXU raw-moment basis
+    # (two fixed-basis matmuls per integrand channel + per-window binomial
+    # shift, ops/moments.py:moments_from_patches_paired_mxu) instead of the
+    # fused VPU reductions. Experimental A/B flag (VERDICT round-4 next 7);
+    # only affects the paired-window fast path.
+    moment_mxu_basis: bool = False
 
 
 @dataclass(frozen=True)

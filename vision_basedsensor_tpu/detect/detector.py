@@ -205,14 +205,16 @@ def detect_markers_and_scale(frames: jnp.ndarray, cfg: DetectConfig,
         # patch <= 64 (the 64-lane slot provably holds every gateable
         # pixel; both built-in profiles qualify).
         if cfg.max_candidates % 2 == 0 and profile.patch_size <= 64:
-            from vision_basedsensor_tpu.ops.moments import \
-                moments_from_patches_paired
+            from vision_basedsensor_tpu.ops.moments import (
+                moments_from_patches_paired, moments_from_patches_paired_mxu)
             from vision_basedsensor_tpu.ops.pallas.moments import \
                 gather_windows_paired
             patches, pstart = gather_windows_paired(packed, peaks, geom,
                                                     profile)
-            sums = moments_from_patches_paired(patches, pstart, peaks, geom,
-                                               profile, w)
+            paired_fn = (moments_from_patches_paired_mxu
+                         if cfg.moment_mxu_basis
+                         else moments_from_patches_paired)
+            sums = paired_fn(patches, pstart, peaks, geom, profile, w)
         else:
             patches, pstart = gather_windows(packed, peaks, geom, profile)
             sums = moments_from_patches(patches, pstart, peaks, geom,

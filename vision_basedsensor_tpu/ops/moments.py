@@ -165,6 +165,28 @@ def unpack_packed_field(packed: jnp.ndarray):
     return band, area, r - 256.0 * band
 
 
+def _channels(patches, keep, profile: DetectProfile, *, vmin, vmax, expand):
+    """Per-element moment integrand channels shared by every batched-XLA
+    backend: gated band/area masks, photometric soft weights (min/max
+    normalized inside the cut), their half-level threshold, and the cut
+    itself, plus the per-window lo/hi scalars. ``vmin``/``vmax`` reduce a
+    gated element tensor to a per-window scalar and ``expand`` broadcasts
+    one back — the only layout-specific plumbing."""
+    f = jnp.float32
+    cut = keep.astype(f)
+    band, area, gray = unpack_packed_field(patches)
+    b = band * cut
+    a = area * cut
+    lo = vmin(jnp.where(keep, gray, jnp.inf))
+    hi = vmax(jnp.where(keep, gray, -jnp.inf))
+    hi_e, lo_e = expand(hi), expand(lo)
+    contrast = jnp.maximum(hi_e - lo_e, 1e-3)
+    w = jnp.clip((hi_e - gray) / contrast, 0.0, 1.0)
+    w = soft_weight_remap(w, profile.soft_floor) * cut
+    wh = (w >= 0.5).astype(f)
+    return b, a, w, wh, cut, lo, hi
+
+
 def _moment_stack(patches, dx, dy, keep, profile: DetectProfile, *,
                   red, vmin, vmax, expand) -> jnp.ndarray:
     """The single definition of the 28-sum construction shared by the
@@ -178,18 +200,8 @@ def _moment_stack(patches, dx, dy, keep, profile: DetectProfile, *,
     (``window_sums_xla`` and the in-kernel ``_accumulate`` keep their own
     layout-specific forms; the parity tests pin all backends equal.)
     """
-    f = jnp.float32
-    cut = keep.astype(f)
-    band, area, gray = unpack_packed_field(patches)
-    b = band * cut
-    a = area * cut
-    lo = vmin(jnp.where(keep, gray, jnp.inf))
-    hi = vmax(jnp.where(keep, gray, -jnp.inf))
-    hi_e, lo_e = expand(hi), expand(lo)
-    contrast = jnp.maximum(hi_e - lo_e, 1e-3)
-    w = jnp.clip((hi_e - gray) / contrast, 0.0, 1.0)
-    w = soft_weight_remap(w, profile.soft_floor) * cut
-    wh = (w >= 0.5).astype(f)
+    b, a, w, wh, cut, lo, hi = _channels(patches, keep, profile, vmin=vmin,
+                                         vmax=vmax, expand=expand)
 
     def m(v):
         return [red(v), red(v * dx), red(v * dy)]
@@ -273,6 +285,18 @@ def moments_from_patches_paired(patches: jnp.ndarray, start: jnp.ndarray,
     reshape of the fused row-sums. Output layout identical to
     :func:`window_sums_xla`: ``(..., K, NUM_SUMS)``.
     """
+    dx, dy, keep, red, vmin, vmax, expand = _paired_plumbing(
+        patches, start, peaks, geom, profile, width)
+    return _moment_stack(patches, dx, dy, keep, profile,
+                         red=red, vmin=vmin, vmax=vmax, expand=expand)
+
+
+def _paired_plumbing(patches, start, peaks, geom, profile: DetectProfile,
+                     width: int):
+    """Shared geometry + reduction closures of the paired-window layout
+    (coordinates, cut mask, slot-masked reductions). Used by both the
+    fused-reduction backend (:func:`moments_from_patches_paired`) and the
+    MXU raw-moment backend (:func:`moments_from_patches_paired_mxu`)."""
     r_, c_ = patches.shape[-2:]
     if c_ != 128:
         raise ValueError(f"paired patches must have 128 lanes, got {c_}")
@@ -311,17 +335,113 @@ def moments_from_patches_paired(patches: jnp.ndarray, start: jnp.ndarray,
     def interleave(s0, s1):  # (..., K2) x2 -> (..., K), window 2*k2+j
         return jnp.stack([s0, s1], axis=-1).reshape(*s0.shape[:-1], 2 * k2)
 
-    return _moment_stack(
-        patches, dx, dy, keep, profile,
-        red=lambda v: interleave(jnp.sum(v * m0, axis=(-2, -1)),
-                                 jnp.sum(v - v * m0, axis=(-2, -1))),
-        vmin=lambda v: interleave(
-            jnp.min(jnp.where(slot0, v, jnp.inf), axis=(-2, -1)),
-            jnp.min(jnp.where(slot0, jnp.inf, v), axis=(-2, -1))),
-        vmax=lambda v: interleave(
-            jnp.max(jnp.where(slot0, v, -jnp.inf), axis=(-2, -1)),
-            jnp.max(jnp.where(slot0, -jnp.inf, v), axis=(-2, -1))),
-        expand=lambda s: lane_expand(s)[..., None, :])
+    red = lambda v: interleave(jnp.sum(v * m0, axis=(-2, -1)),       # noqa: E731
+                               jnp.sum(v - v * m0, axis=(-2, -1)))
+    vmin = lambda v: interleave(                                     # noqa: E731
+        jnp.min(jnp.where(slot0, v, jnp.inf), axis=(-2, -1)),
+        jnp.min(jnp.where(slot0, jnp.inf, v), axis=(-2, -1)))
+    vmax = lambda v: interleave(                                     # noqa: E731
+        jnp.max(jnp.where(slot0, v, -jnp.inf), axis=(-2, -1)),
+        jnp.max(jnp.where(slot0, -jnp.inf, v), axis=(-2, -1)))
+    expand = lambda s: lane_expand(s)[..., None, :]                  # noqa: E731
+    return dx, dy, keep, red, vmin, vmax, expand
+
+
+def moments_from_patches_paired_mxu(patches: jnp.ndarray,
+                                    start: jnp.ndarray, peaks: Peaks,
+                                    geom: CutGeometry,
+                                    profile: DetectProfile,
+                                    width: int) -> jnp.ndarray:
+    """MXU raw-moment basis variant of :func:`moments_from_patches_paired`
+    (identical output layout, same paired-window input).
+
+    Instead of 26 fused elementwise multiply-reduce passes (vector-issue
+    bound on the VPU), each integrand channel's full moment set is two
+    matmuls against FIXED polynomial bases — work the MXU does "for free"
+    next to the VPU-bound pipeline:
+
+    * rows:  ``Y = Drow @ V`` with ``Drow (4, R) = [1, rc, rc^2, rc^3]``
+      over window-centered row coordinates ``rc = r - (R-1)/2``;
+    * cols:  ``M = Y @ Dcol`` with ``Dcol (128, 8)`` holding the four
+      window-centered column powers per 64-lane slot (the slot masking is
+      folded into the basis, so the paired split costs nothing);
+    * a per-window binomial shift maps the window-centered raw moments to
+      the peak-relative ones (the shift offsets are the sub-pixel patch
+      alignment residuals, |o| <~ patch/2, so f32 cancellation stays far
+      from the ~5-digit loss of absolute-coordinate raw moments that the
+      module header rules out).
+
+    Matmuls run at ``Precision.HIGHEST`` (f32-accurate bf16_6x): the
+    third-moment basis spans ~3e4 and single-pass bf16 would destroy the
+    occlusion skew. The min/max photometric normalization stays on the
+    VPU (not expressible as a matmul).
+    """
+    dx, dy, keep, red, vmin, vmax, expand = _paired_plumbing(
+        patches, start, peaks, geom, profile, width)
+    del dx, dy, red
+    b, a, w, wh, cut, lo, hi = _channels(patches, keep, profile, vmin=vmin,
+                                         vmax=vmax, expand=expand)
+    r_, c_ = patches.shape[-2:]
+    k2 = patches.shape[-3]
+    f = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+
+    rc = jnp.arange(r_, dtype=f) - (r_ - 1) / 2.0
+    lc = (jnp.arange(c_) % 64).astype(f) - 31.5
+    drow = jnp.stack([jnp.ones_like(rc), rc, rc * rc, rc * rc * rc])  # (4,R)
+    cpow = jnp.stack([jnp.ones_like(lc), lc, lc * lc, lc * lc * lc],
+                     axis=-1)                                         # (128,4)
+    s0 = (jnp.arange(c_) < 64).astype(f)[:, None]
+    dcol = jnp.concatenate([cpow * s0, cpow * (1.0 - s0)], axis=-1)   # (128,8)
+
+    def raw(v):
+        """(..., K2, R, 128) -> (..., K, 4, 4) raw moments R[q][p] =
+        sum v * rc^q * lc^p, per 64-lane slot (window = 2*k2 + slot)."""
+        y = jnp.einsum("qr,...rl->...ql", drow, v, precision=hp)
+        m = jnp.einsum("...ql,le->...qe", y, dcol, precision=hp)
+        m = m.reshape(*m.shape[:-1], 2, 4)          # (..., K2, 4q, 2s, 4p)
+        m = jnp.moveaxis(m, -2, -3)                 # (..., K2, 2s, 4q, 4p)
+        return m.reshape(*m.shape[:-4], 2 * k2, 4, 4)
+
+    # Per-window shift offsets: dx = ox + lc, dy = oy + rc.
+    ox = start[..., 0].astype(f) - peaks.xy[..., 0] + 31.5          # (..., K)
+    oy = start[..., 1].astype(f) - peaks.xy[..., 1] + (r_ - 1) / 2.0
+
+    def shifted(R, orders):
+        """Binomial shift of raw moments to peak-relative (dx, dy) moments
+        for the requested ``(q, p)`` = (dy power, dx power) orders."""
+        r = lambda q, p: R[..., q, p]                        # noqa: E731
+        table = {
+            (0, 0): lambda: r(0, 0),
+            (0, 1): lambda: r(0, 1) + ox * r(0, 0),
+            (1, 0): lambda: r(1, 0) + oy * r(0, 0),
+            (0, 2): lambda: r(0, 2) + 2 * ox * r(0, 1) + ox * ox * r(0, 0),
+            (2, 0): lambda: r(2, 0) + 2 * oy * r(1, 0) + oy * oy * r(0, 0),
+            (1, 1): lambda: (r(1, 1) + ox * r(1, 0) + oy * r(0, 1)
+                             + ox * oy * r(0, 0)),
+            (0, 3): lambda: (r(0, 3) + 3 * ox * r(0, 2)
+                             + 3 * ox * ox * r(0, 1) + ox ** 3 * r(0, 0)),
+            (1, 2): lambda: (r(1, 2) + oy * r(0, 2) + 2 * ox * r(1, 1)
+                             + 2 * ox * oy * r(0, 1) + ox * ox * r(1, 0)
+                             + ox * ox * oy * r(0, 0)),
+            (2, 1): lambda: (r(2, 1) + ox * r(2, 0) + 2 * oy * r(1, 1)
+                             + 2 * ox * oy * r(1, 0) + oy * oy * r(0, 1)
+                             + oy * oy * ox * r(0, 0)),
+            (3, 0): lambda: (r(3, 0) + 3 * oy * r(2, 0)
+                             + 3 * oy * oy * r(1, 0) + oy ** 3 * r(0, 0)),
+        }
+        return [table[qp]() for qp in orders]
+
+    deg1 = [(0, 0), (0, 1), (1, 0)]                 # [sum, *dx, *dy]
+    deg2 = [(0, 2), (2, 0), (1, 1)]                 # [*dx^2, *dy^2, *dx*dy]
+    deg3 = [(0, 3), (1, 2), (2, 1), (3, 0)]         # [x^3, x^2 y, x y^2, y^3]
+    rb, ra, rw, rwh, rcut = raw(b), raw(a), raw(w), raw(wh), raw(cut)
+    return jnp.stack(
+        shifted(rb, deg1) + shifted(ra, deg1) + shifted(ra, deg2)
+        + shifted(rw, deg1) + shifted(rw, deg2)
+        + shifted(rwh, deg1) + shifted(rwh, deg2)
+        + [lo, hi, shifted(rcut, [(0, 0)])[0]] + shifted(rw, deg3),
+        axis=-1)
 
 
 class Finalized(NamedTuple):
