@@ -181,6 +181,12 @@ def bench_decode_fed(n_frames: int, batch: int) -> dict | None:
             yield "host_libjpeg", lambda: MjpegAviSource(path, gray=True)
             try:
                 MjpegAviTpuSource(path)
+                # tdelta: temporal coefficient deltas (round 5) — the
+                # production default; ~2.8 KB/frame on this stream (the
+                # sensor scene IS the slow-motion workload the reference
+                # records), lossless, degrading boundedly on noise.
+                yield ("tpu_idct_tdelta",
+                       lambda: MjpegAviTpuSource(path, transport="tdelta"))
                 yield ("tpu_idct_split_z15",
                        lambda: MjpegAviTpuSource(path, transport="split",
                                                  zmax=15))

@@ -56,7 +56,7 @@ def test_decode_color_jpeg_luma(tmp_path):
 
 
 @pytest.mark.parametrize("method", ["decode", "decode_packed",
-                                    "decode_split"])
+                                    "decode_split", "decode_tdelta"])
 def test_restart_markers(method):
     """DRI/RSTn streams (some cameras emit them) decode correctly through
     every transport — restarts reset the DC prediction mid-scan, which the
@@ -137,7 +137,8 @@ def test_packed_transport_matches_dense(quality, shape):
         assert stats["bytes_shipped"] < stats["bytes_dense"]
 
 
-@pytest.mark.parametrize("method", ["decode_packed", "decode_split"])
+@pytest.mark.parametrize("method", ["decode_packed", "decode_split",
+                                    "decode_tdelta"])
 def test_sparse_transport_color_420(method):
     """4:2:0 color JPEGs exercise the MCU-row staging (two block rows per
     MCU row must be re-emitted in flat row-major order) — for the split
@@ -671,3 +672,171 @@ def test_split_band_limit_detect_envelope():
         dist = np.linalg.norm(pb[:, None] - pz[None], axis=-1).min(1)
         assert (dist < 3.0).all()      # every marker still matches its peer
         assert np.percentile(dist, 99) < 1.5
+
+
+@pytest.mark.parametrize("quality", [20, 70, 95])
+@pytest.mark.parametrize("shape", [(480, 640), (41, 67)])
+def test_tdelta_transport_matches_dense(quality, shape):
+    """The TDELTA (temporal-delta) transport must reproduce the dense path
+    BITWISE across the temporal cases that define it: a static run
+    (replenishment: ships ~nothing), local motion, a full scene cut
+    (every block re-ships), a uniform frame, and a hard-edge frame whose
+    deltas exceed the EXT int8 range (spill stream)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    base = _textured(*shape, seed=1)
+    imgs = [base, base.copy(), base.copy()]          # static run
+    moved = base.copy()
+    moved[10:30, 10:40] = 255 - moved[10:30, 10:40]  # local motion
+    imgs.append(moved)
+    imgs.append(_textured(*shape, seed=9))           # scene cut
+    imgs.append(np.full(shape, 128, np.uint8))       # uniform
+    imgs.append((_textured(*shape, seed=7) > 127).astype(np.uint8) * 255)
+    jpegs = []
+    for img in imgs:
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY,
+                                             quality])
+        assert ok
+        jpegs.append(enc.tobytes())
+    dec = MjpegBatchDecoder()
+    dense = np.asarray(dec.decode(jpegs))
+    td = np.asarray(dec.decode_tdelta(jpegs))
+    assert (dense == td).all()
+    assert dec.last_stats["transport"] == "tdelta"
+
+
+def test_tdelta_static_stream_ships_almost_nothing():
+    """The transport's reason to exist: after the first (absolute) frame, a
+    bit-identical stream costs only tail-pad/bucket overhead. The whole
+    16-frame batch must ship less than ~3 frames' worth of the split
+    transport (frame 0's absolute costs ~1.3x a split frame: no DC nibble
+    lane, the block DCs ride EXT pairs)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    img = _textured(120, 160, seed=2)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 70])
+    jpegs = [enc.tobytes()] * 16
+    dec = MjpegBatchDecoder()
+    dec.decode_tdelta(jpegs)
+    td_bytes = dec.last_stats["bytes_shipped"]
+    dec2 = MjpegBatchDecoder()
+    dec2.decode_split(jpegs)
+    split_bytes = dec2.last_stats["bytes_shipped"]
+    assert td_bytes < 3 * split_bytes / 16 + 8192
+
+
+def test_tdelta_noise_degradation_bounded():
+    """Adversarial (iid noise) streams kill replenishment — every block
+    changes every frame. The format must stay EXACT and its bytes must stay
+    within the documented bound (~2x the split transport's entry count)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    rng = np.random.default_rng(3)
+    jpegs = []
+    for _ in range(6):
+        img = rng.integers(0, 256, (120, 160), np.uint8)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 70])
+        jpegs.append(enc.tobytes())
+    dec = MjpegBatchDecoder()
+    dense = np.asarray(dec.decode(jpegs))
+    td = np.asarray(dec.decode_tdelta(jpegs))
+    assert (dense == td).all()
+    td_bytes = dec.last_stats["bytes_shipped"]
+    dec2 = MjpegBatchDecoder()
+    dec2.decode_split(jpegs)
+    assert td_bytes <= 2.5 * dec2.last_stats["bytes_shipped"]
+
+
+def test_tdelta_capacity_growth():
+    """Undersized tdelta streams must grow on their capacity rcs (VLC
+    bytes, spill) and converge — not loop or misdecode."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    img = _textured(64, 96, seed=9)
+    img[::8] = 255  # DC jumps -> deltas past int8 -> spill traffic
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    dec = MjpegBatchDecoder()
+    ref = np.asarray(dec.decode([enc.tobytes()]))
+    dec._tcap, dec._tscap = 8, 8
+    out = np.asarray(dec.decode_tdelta([enc.tobytes()]))
+    assert (out == ref).all()
+
+
+def test_tdelta_error_protocol():
+    """Failure protocol matches the other transports: the index of the
+    first bad frame, no growth retries on malformed bytes."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    good = [cv2.imencode(".jpg", _textured(120, 160, seed=s),
+                         [cv2.IMWRITE_JPEG_QUALITY, 70])[1].tobytes()
+            for s in range(4)]
+    dec = MjpegBatchDecoder()
+    dec.decode_tdelta(good)  # learn geometry
+    with pytest.raises(ValueError, match="frame 2"):
+        dec.decode_tdelta(good[:2] + [good[3][:40]] + good[3:])
+
+
+@pytest.mark.parametrize("workers", [2, 3, 7])
+def test_multithreaded_tdelta_matches_serial(workers):
+    """The MT tdelta decode seeds each worker's temporal predictor by
+    silently decoding the frame before its slice, then stitches one
+    stream — decoded frames must be bitwise-identical to serial across
+    static runs (empty slices), motion, cuts, and spill-heavy frames."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    base = _textured(120, 160, seed=4)
+    jpegs = []
+    for seed in range(9):
+        if seed in (1, 2, 6):
+            img = base  # static repeats -> empty slices for some workers
+        elif seed == 3:
+            img = np.full((120, 160), 128, np.uint8)
+        elif seed == 5:
+            img = (_textured(120, 160, seed=seed) > 127).astype(np.uint8) * 255
+        else:
+            img = _textured(120, 160, seed=seed)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 70])
+        assert ok
+        jpegs.append(enc.tobytes())
+    serial = np.asarray(MjpegBatchDecoder(workers=1).decode_tdelta(jpegs))
+    mt = np.asarray(MjpegBatchDecoder(workers=workers).decode_tdelta(jpegs))
+    assert (serial == mt).all()
+
+
+@pytest.mark.parametrize("zmax", [2, 6, 15, 22])
+def test_tdelta_band_limit_matches_zeroed_dense(zmax):
+    """tdelta zmax semantics match split's exactly: identical to the dense
+    decode with zigzag indices >= zmax zeroed — INCLUDING the temporal
+    comparison (a block whose only change is past the band ships nothing)."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    base = _textured(64, 96, seed=11)
+    imgs = [base, base.copy(), _textured(64, 96, seed=12)]
+    jpegs = [cv2.imencode(".jpg", im, [cv2.IMWRITE_JPEG_QUALITY, 70])[1]
+             .tobytes() for im in imgs]
+    dec = MjpegBatchDecoder()
+    td = np.asarray(dec.decode_tdelta(jpegs, zmax=zmax))
+    dec2 = MjpegBatchDecoder()
+    sp = np.asarray(dec2.decode_split(jpegs, zmax=zmax))
+    assert (td == sp).all()
+
+
+def test_tdelta_batch_independence():
+    """Every batch is self-contained (its first frame deltas against
+    zeros): decoding a stream in one batch or two must agree bitwise."""
+    _lib_or_skip()
+    from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
+    base = _textured(120, 160, seed=6)
+    imgs = [base]
+    for i in range(5):
+        nxt = imgs[-1].copy()
+        nxt[20:40, 10 * i:10 * i + 30] ^= 0x7F
+        imgs.append(nxt)
+    jpegs = [cv2.imencode(".jpg", im, [cv2.IMWRITE_JPEG_QUALITY, 70])[1]
+             .tobytes() for im in imgs]
+    dec = MjpegBatchDecoder()
+    whole = np.asarray(dec.decode_tdelta(jpegs))
+    dec2 = MjpegBatchDecoder()
+    a = np.asarray(dec2.decode_tdelta(jpegs[:3]))
+    b = np.asarray(dec2.decode_tdelta(jpegs[3:]))
+    assert (whole == np.concatenate([a, b])).all()

@@ -325,7 +325,7 @@ def test_sharded_chunked_warmup_uses_global_offset(setup):
     assert step.frames_seen == 8
 
 @pytest.mark.slow
-@pytest.mark.parametrize("transport", ["split", "packed"])
+@pytest.mark.parametrize("transport", ["tdelta", "split", "packed"])
 def test_sharded_packed_ingest_matches_single_device(setup, transport):
     """ShardedPackedFeed: per-shard sparse coefficient transport (both
     formats) + shard_map expand must reproduce the single-device decode

@@ -691,7 +691,7 @@ def cmd_run_live(args):
             print(f"note: {src.last_dropped} stream frame(s) skipped to "
                   "stay current (pipeline slower than stream)", flush=True)
         st = getattr(src, "last_stats", None)
-        if st and st.get("transport") in ("split", "packed"):
+        if st and st.get("transport") in ("tdelta", "split", "packed"):
             per = st["bytes_shipped"] / max(1, st["frames"])
             dense = st["bytes_dense"] / max(1, st["frames"])
             print(f"tpu-decode transport: {per / 1024:.1f} KB/frame over "
@@ -774,7 +774,7 @@ def main(argv=None):
                    help="streaming chunk size (bounds host RAM)")
     t.add_argument("--tpu-decode", action="store_true",
                    help="MJPG AVIs: native entropy decode + on-device "
-                        "IDCT via the split sparse transport (fastest on "
+                        "IDCT via the temporal-delta sparse transport (fastest on "
                         "weak hosts / thin links; falls back to host "
                         "decode for other inputs)")
     t.add_argument("--calibration")

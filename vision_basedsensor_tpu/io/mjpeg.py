@@ -287,17 +287,21 @@ class MjpegTpuVideoSource:
     """
 
     def __init__(self, url: str, fps: float = 12.0,
-                 max_frames: int | None = None, transport: str = "split",
+                 max_frames: int | None = None, transport: str = "tdelta",
                  zmax: int = 64):
-        """``transport``: ``split`` (default, fewest link bytes) or
-        ``packed`` — see :class:`~...ops.jpeg.MjpegBatchDecoder`. ``zmax``
-        (split only): zigzag band limit; 64 = exact, lower = the
-        detect-grade profile (ops/jpeg.py header)."""
+        """``transport``: ``tdelta`` (default — temporal coefficient
+        deltas, the fewest link bytes on the production slow-scene
+        workload), ``split`` (scene-independent), or ``packed`` — see
+        :class:`~...ops.jpeg.MjpegBatchDecoder`. ``zmax`` (split/tdelta):
+        zigzag band limit; 64 = exact, lower = the detect-grade profile
+        (ops/jpeg.py header)."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
-        if transport not in ("split", "packed"):
-            raise ValueError(f"transport must be split|packed, got {transport}")
-        if zmax != 64 and transport != "split":
-            raise ValueError("zmax band limit requires transport='split'")
+        if transport not in ("tdelta", "split", "packed"):
+            raise ValueError(
+                f"transport must be tdelta|split|packed, got {transport}")
+        if zmax != 64 and transport not in ("split", "tdelta"):
+            raise ValueError(
+                "zmax band limit requires transport='split'|'tdelta'")
         self.url = url
         self._fps = fps
         self._max = max_frames
@@ -332,7 +336,9 @@ class MjpegTpuVideoSource:
         return self.to_device(self._entropy(buf))
 
     def _entropy(self, buf):
-        if self._transport == "split":
+        if self._transport == "tdelta":
+            hp = self._dec.entropy_decode_tdelta(buf, zmax=self._zmax)
+        elif self._transport == "split":
             hp = self._dec.entropy_decode_split(buf, zmax=self._zmax)
         else:
             hp = self._dec.entropy_decode_packed(buf)
@@ -343,8 +349,9 @@ class MjpegTpuVideoSource:
         """Device half of the two-thread feed (jit dispatch) — MAIN thread
         only; TPU dispatch from a background thread hangs through the axon
         relay (capture/server.py documents the same hazard)."""
-        return (self._dec.split_to_device if self._transport == "split"
-                else self._dec.packed_to_device)(payload)
+        return {"tdelta": self._dec.tdelta_to_device,
+                "split": self._dec.split_to_device,
+                "packed": self._dec.packed_to_device}[self._transport](payload)
 
     def batches(self, batch_size: int):
         reader = _StreamReader(self.url, self._max,

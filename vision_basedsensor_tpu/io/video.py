@@ -224,19 +224,23 @@ class MjpegAviTpuSource(VideoSource):
     """
 
     def __init__(self, path: str, fps: float = 12.0,
-                 transport: str = "split", zmax: int = 64):
-        """``transport``: ``split`` (default — DC/AC-separated VLC streams,
-        fewest link bytes, ~22 KB/frame at 480p q70), ``packed`` (2-byte
-        delta pairs), or ``dense`` (full coefficient tensor, the
-        ablation). ``zmax`` (split only, 2..64): zigzag band limit —
-        64 decodes exactly; lower values are the opt-in tracking-grade
-        profile (ops/jpeg.py header) at a further large byte cut."""
+                 transport: str = "tdelta", zmax: int = 64):
+        """``transport``: ``tdelta`` (default — temporal coefficient
+        deltas, ~3 KB/frame at 480p q70 on the production slow-scene
+        workload, degrading boundedly to ~2x ``split`` on noise),
+        ``split`` (DC/AC-separated VLC streams, ~22 KB/frame, the
+        scene-independent choice), ``packed`` (2-byte delta pairs), or
+        ``dense`` (full coefficient tensor, the ablation). ``zmax``
+        (split/tdelta, 2..64): zigzag band limit — 64 decodes exactly;
+        lower values are the opt-in tracking-grade profile (ops/jpeg.py
+        header) at a further large byte cut."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
-        if transport not in ("split", "packed", "dense"):
+        if transport not in ("tdelta", "split", "packed", "dense"):
+            raise ValueError(f"transport must be tdelta|split|packed|dense, "
+                             f"got {transport}")
+        if zmax != 64 and transport not in ("split", "tdelta"):
             raise ValueError(
-                f"transport must be split|packed|dense, got {transport}")
-        if zmax != 64 and transport != "split":
-            raise ValueError("zmax band limit requires transport='split'")
+                "zmax band limit requires transport='split'|'tdelta'")
         with open(path, "rb") as f:
             self._buf = f.read()
         first = next(_iter_avi_video_chunks(self._buf), None)
@@ -257,8 +261,11 @@ class MjpegAviTpuSource(VideoSource):
         return self._dec.last_stats
 
     def batches(self, batch_size: int):
-        if self._transport == "split":
-            dec = functools.partial(self._dec.decode_split, zmax=self._zmax)
+        if self._transport in ("split", "tdelta"):
+            dec = functools.partial(
+                {"split": self._dec.decode_split,
+                 "tdelta": self._dec.decode_tdelta}[self._transport],
+                zmax=self._zmax)
         else:
             dec = {"packed": self._dec.decode_packed,
                    "dense": self._dec.decode}[self._transport]
@@ -276,9 +283,11 @@ class MjpegAviTpuSource(VideoSource):
         numpy payloads, NO jax dispatch — safe to drive from device_feed's
         prefetch thread (TPU dispatch from a background thread hangs
         through the axon relay). Pair with :meth:`to_device`."""
-        if self._transport == "split":
-            dec = functools.partial(self._dec.entropy_decode_split,
-                                    zmax=self._zmax)
+        if self._transport in ("split", "tdelta"):
+            dec = functools.partial(
+                {"split": self._dec.entropy_decode_split,
+                 "tdelta": self._dec.entropy_decode_tdelta}[self._transport],
+                zmax=self._zmax)
         else:
             dec = {"packed": self._dec.entropy_decode_packed,
                    "dense": self._dec.entropy_decode_dense}[self._transport]
@@ -293,7 +302,8 @@ class MjpegAviTpuSource(VideoSource):
 
     def to_device(self, payload):
         """Device half of the two-thread feed — call on the MAIN thread."""
-        return {"split": self._dec.split_to_device,
+        return {"tdelta": self._dec.tdelta_to_device,
+                "split": self._dec.split_to_device,
                 "packed": self._dec.packed_to_device,
                 "dense": self._dec.dense_to_device}[self._transport](payload)
 

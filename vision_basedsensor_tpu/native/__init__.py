@@ -116,6 +116,22 @@ def load_jpeg_lib():
                 lib.vbs_mjpeg_batch_y_coeffs_split_mt.argtypes = (
                     lib.vbs_mjpeg_batch_y_coeffs_split.argtypes
                     + [ctypes.c_int])
+                lib.vbs_mjpeg_batch_y_coeffs_tdelta.restype = ctypes.c_int
+                lib.vbs_mjpeg_batch_y_coeffs_tdelta.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint16),
+                    ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_uint16),
+                    ctypes.c_int,  # zmax (band limit; 64 = lossless)
+                ]
+                lib.vbs_mjpeg_batch_y_coeffs_tdelta_mt.restype = ctypes.c_int
+                lib.vbs_mjpeg_batch_y_coeffs_tdelta_mt.argtypes = (
+                    lib.vbs_mjpeg_batch_y_coeffs_tdelta.argtypes
+                    + [ctypes.c_int])
         except Exception as e:  # pragma: no cover
             print(f"[native] jpeg lib unavailable: {e}", file=sys.stderr)
             lib = None

@@ -695,6 +695,216 @@ struct SplitVecSink {
   }
 };
 
+// Emit into the TDELTA (temporal-delta) layout: ONE VLC byte stream over
+// the zmax-slot-per-block ZIGZAG space (slot 0 = DC), whose entry values
+// are the TEMPORAL DELTAS of each block's quantized coefficient vector
+// against the previous frame (frame 0: against all-zeros, i.e. absolute).
+//
+// Why: an MJPEG sensor stream is a statically-mounted camera watching a
+// slowly-deforming gel — measured on the q70 480p bench stream, 95.7% of
+// blocks are BIT-IDENTICAL to the previous frame and the batch-wide delta
+// has ~662 nonzeros/frame vs ~18,700 absolute, so shipping deltas cuts the
+// exact-transport link bytes ~8x below SPLIT (benchmarks/README.md round
+// 5). Reconstruction is ONE cumsum over the frame axis (deltas telescope:
+// every prefix sum IS a real frame's quantized coefficients, so int16
+// never overflows), then the shared zigzag dequant-IDCT. Per-frame qtables
+// stay exact: deltas live in QUANTIZED space; each frame dequantizes with
+// its own table after the cumsum.
+//
+// Entry format = SplitSink's AC VLC with one extension (positions are
+// pos = (frame*blocks + block) * nslots + zigzag_index, nslots = zmax):
+//   first byte: low 3 bits gap-1 (gap 1..8), high 5 bits the value code:
+//     - codes -14..15 : SHORT, the delta itself (one byte);
+//     - code  -15     : EXT, next byte is the delta as int8 (|d| > 127
+//                       clamps + spills the remainder to the uint16-gap/
+//                       int16 side stream);
+//     - code  -16     : ESCAPE — low 3 bits k-1 with k in 1..7 skips k
+//                       whole blocks (one byte); k == 8 (low == 7) is the
+//                       TWO-byte form whose second byte B skips 8+B blocks
+//                       (8..263) — on replenishment streams ~96% of blocks
+//                       ship nothing, so whole-frame skips must not cost
+//                       hundreds of 8-block escapes (SplitSink's cap).
+//   Framing stays self-synchronizing: EXT and two-byte-ESCAPE first bytes
+//   both mark exactly one payload byte, so entry starts are recoverable by
+//   the same parity scan (ops/jpeg.py:tdelta_idct_frames).
+//
+// zmax (2..64) band-limits exactly like SplitSink: slots >= zmax are
+// ignored on BOTH sides of the delta (decode = dense with that tail
+// zeroed). Noise-heavy streams degrade boundedly: the delta support is at
+// most nnz(cur) + nnz(prev), ~2x SPLIT's entry count — the transport is
+// selected per deployment (io/video.MjpegAviTpuSource(transport=...)).
+struct TDeltaSink {
+  static constexpr bool kZigzagOrder = true;
+  uint8_t* ac;
+  int64_t ac_cap, ac_n = 0;
+  uint16_t* sgaps;
+  int16_t* sdeltas;
+  int64_t scap, sn = 0;
+  int64_t prev_pos = -1, sprev = -1;
+  int64_t frame_block_base = 0;  // frame_index * blocks_per_frame
+  int nslots = 64;               // zmax slots per block (slot 0 = DC)
+  int16_t* prev;                 // (blocks * 64) int16, zigzag-indexed
+  uint64_t* prev_mask;           // (blocks,) nonzero-slot mask of prev
+
+  inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
+    const uint64_t lim =
+        nslots >= 64 ? ~0ull : ((1ull << nslots) - 1);
+    int16_t* pv = prev + block * 64;
+    uint64_t un = (mask | prev_mask[block]) & lim;
+    const int64_t base = (frame_block_base + block) * nslots;
+    while (un) {
+      const int j = __builtin_ctzll(un);
+      un &= un - 1;
+      const int16_t cur =
+          (mask >> j & 1) ? scratch[j] : static_cast<int16_t>(0);
+      const int32_t d = static_cast<int32_t>(cur) - pv[j];
+      pv[j] = cur;
+      if (d == 0) continue;
+      const int64_t pos = base + j;
+      int64_t gap = pos - prev_pos;  // >= 1
+      while (gap - 1 >= nslots) {    // whole silent blocks -> escapes
+        int64_t k = (gap - 1) / nslots;
+        if (k <= 7) {
+          if (ac_n >= ac_cap) return kErrAcCap;
+          ac[ac_n++] = static_cast<uint8_t>((k - 1) | 0x80);
+        } else {
+          if (k > 263) k = 263;
+          if (ac_n + 2 > ac_cap) return kErrAcCap;
+          ac[ac_n++] = static_cast<uint8_t>(7 | 0x80);
+          ac[ac_n++] = static_cast<uint8_t>(k - 8);
+        }
+        gap -= k * nslots;
+      }
+      while (gap > 8) {  // in-block remainder -> zero-value gap-8 fillers
+        if (ac_n >= ac_cap) return kErrAcCap;
+        ac[ac_n++] = 7;
+        gap -= 8;
+      }
+      if (d >= -14 && d <= 15) {
+        if (ac_n >= ac_cap) return kErrAcCap;
+        ac[ac_n++] = static_cast<uint8_t>((gap - 1) | ((d & 31) << 3));
+      } else {
+        const int32_t cv = d > 127 ? 127 : (d < -127 ? -127 : d);
+        if (ac_n + 2 > ac_cap) return kErrAcCap;
+        ac[ac_n++] = static_cast<uint8_t>((gap - 1) | ((17 & 31) << 3));
+        ac[ac_n++] = static_cast<uint8_t>(static_cast<int8_t>(cv));
+        if (d != cv) {
+          int64_t sg = pos - sprev;
+          while (sg > 65535) {
+            if (sn >= scap) return kErrAcSpillCap;
+            sgaps[sn] = 65535;
+            sdeltas[sn] = 0;
+            ++sn;
+            sg -= 65535;
+          }
+          if (sn >= scap) return kErrAcSpillCap;
+          sgaps[sn] = static_cast<uint16_t>(sg);
+          sdeltas[sn] = static_cast<int16_t>(d - cv);
+          ++sn;
+          sprev = pos;
+        }
+      }
+      prev_pos = pos;
+    }
+    prev_mask[block] = mask & lim;
+    return 0;
+  }
+};
+
+// TDELTA into growable thread-local vectors (multithreaded batch path) —
+// same encoding as TDeltaSink, worker-owned buffers, stitched afterwards.
+struct TDeltaVecSink {
+  static constexpr bool kZigzagOrder = true;
+  std::vector<uint8_t> ac;
+  std::vector<uint16_t> sgaps;
+  std::vector<int16_t> sdeltas;
+  int64_t prev_pos = -1, sprev = -1;
+  int64_t frame_block_base = 0;
+  int nslots = 64;
+  std::vector<int16_t> prev;
+  std::vector<uint64_t> prev_mask;
+
+  inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
+    const uint64_t lim =
+        nslots >= 64 ? ~0ull : ((1ull << nslots) - 1);
+    int16_t* pv = prev.data() + block * 64;
+    uint64_t un = (mask | prev_mask[block]) & lim;
+    const int64_t base = (frame_block_base + block) * nslots;
+    while (un) {
+      const int j = __builtin_ctzll(un);
+      un &= un - 1;
+      const int16_t cur =
+          (mask >> j & 1) ? scratch[j] : static_cast<int16_t>(0);
+      const int32_t d = static_cast<int32_t>(cur) - pv[j];
+      pv[j] = cur;
+      if (d == 0) continue;
+      const int64_t pos = base + j;
+      int64_t gap = pos - prev_pos;
+      while (gap - 1 >= nslots) {
+        int64_t k = (gap - 1) / nslots;
+        if (k <= 7) {
+          ac.push_back(static_cast<uint8_t>((k - 1) | 0x80));
+        } else {
+          if (k > 263) k = 263;
+          ac.push_back(static_cast<uint8_t>(7 | 0x80));
+          ac.push_back(static_cast<uint8_t>(k - 8));
+        }
+        gap -= k * nslots;
+      }
+      while (gap > 8) {
+        ac.push_back(7);
+        gap -= 8;
+      }
+      if (d >= -14 && d <= 15) {
+        ac.push_back(static_cast<uint8_t>((gap - 1) | ((d & 31) << 3)));
+      } else {
+        const int32_t cv = d > 127 ? 127 : (d < -127 ? -127 : d);
+        ac.push_back(static_cast<uint8_t>((gap - 1) | ((17 & 31) << 3)));
+        ac.push_back(static_cast<uint8_t>(static_cast<int8_t>(cv)));
+        if (d != cv) {
+          int64_t sg = pos - sprev;
+          while (sg > 65535) {
+            sgaps.push_back(65535);
+            sdeltas.push_back(0);
+            sg -= 65535;
+          }
+          sgaps.push_back(static_cast<uint16_t>(sg));
+          sdeltas.push_back(static_cast<int16_t>(d - cv));
+          sprev = pos;
+        }
+      }
+      prev_pos = pos;
+    }
+    prev_mask[block] = mask & lim;
+    return 0;
+  }
+};
+
+// Seed a worker's temporal-predictor state by decoding the frame BEFORE its
+// slice without emitting anything (the workers' buffers start zeroed, so
+// only nonzeros need storing).
+struct TDeltaSeedSink {
+  static constexpr bool kZigzagOrder = true;
+  int16_t* prev;
+  uint64_t* prev_mask;
+  int nslots = 64;
+
+  inline int emit(int64_t block, const int16_t* scratch, uint64_t mask) {
+    const uint64_t lim =
+        nslots >= 64 ? ~0ull : ((1ull << nslots) - 1);
+    uint64_t m = mask & lim;
+    int16_t* pv = prev + block * 64;
+    uint64_t mm = m;
+    while (mm) {
+      const int j = __builtin_ctzll(mm);
+      mm &= mm - 1;
+      pv[j] = scratch[j];
+    }
+    prev_mask[block] = m;
+    return 0;
+  }
+};
+
 // Decode the Y-component DCT coefficients of one baseline JPEG into `sink`.
 // Blocks are emitted in flat row-major order regardless of the MCU
 // interleave (4:2:0 decodes two block rows per MCU row): each MCU row is
@@ -1428,6 +1638,224 @@ int vbs_mjpeg_batch_y_coeffs_split_mt(
   out_counts[0] = ac_n;
   out_counts[1] = sn;
   out_counts[2] = dn;
+  return n;
+}
+
+// TDELTA batch variant: temporal-delta transport (see TDeltaSink) — the
+// lowest-byte lossless format for the production workload (a static camera
+// watching a slowly-deforming gel: ~96% of blocks are bit-identical frame
+// to frame, benchmarks/README.md round 5).
+//
+//   out_ac      : uint8[ac_cap] VLC entry bytes (SHORT/EXT/escape framing
+//                 per the TDeltaSink header; slot 0 = DC)
+//   out_sgaps/out_sdeltas : spill stream (uint16 gaps over positions /
+//                 int16 remainders for |delta| > 127)
+//   out_counts  : int64[2] = {ac bytes, spills}
+//   zmax        : 2..64 — zigzag slots >= zmax ignored on both sides of
+//                 the delta (64 = lossless; clamped otherwise)
+//
+// Returns n on success; a frame index 0 <= i < n at the first parse error
+// or geometry mismatch; kErrAcCap/kErrAcSpillCap (-104/-105) when a stream
+// capacity is exceeded (retry larger). Frame 0 deltas against all-zeros
+// (absolute), so every batch is self-contained.
+int vbs_mjpeg_batch_y_coeffs_tdelta(
+    const uint8_t* data, const int64_t* offsets, const int32_t* sizes, int n,
+    uint8_t* out_ac, int64_t ac_cap, uint16_t* out_sgaps,
+    int16_t* out_sdeltas, int64_t scap, int64_t* out_counts,
+    int blocks_per_frame, int* out_meta, uint16_t* out_qtable, int zmax) {
+  if (zmax < 2 || zmax > 64) zmax = 64;
+  int meta[4];
+  std::vector<int16_t> prev(static_cast<size_t>(blocks_per_frame) * 64, 0);
+  std::vector<uint64_t> pmask(static_cast<size_t>(blocks_per_frame), 0);
+  TDeltaSink sink{out_ac, ac_cap, 0, out_sgaps, out_sdeltas, scap, 0};
+  sink.nslots = zmax;
+  sink.prev = prev.data();
+  sink.prev_mask = pmask.data();
+  std::vector<int16_t> stage;
+  std::vector<uint64_t> stage_mask;
+  for (int i = 0; i < n; ++i) {
+    sink.frame_block_base = static_cast<int64_t>(i) * blocks_per_frame;
+    const int rc = decode_y(data + offsets[i], sizes[i], sink,
+                            blocks_per_frame, i == 0 ? out_meta : meta,
+                            out_qtable + static_cast<size_t>(i) * 64, &stage,
+                            &stage_mask);
+    if (rc == kErrAcCap || rc == kErrAcSpillCap) return rc;
+    if (rc != 0) return i;
+    if (i > 0 && (meta[0] != out_meta[0] || meta[1] != out_meta[1] ||
+                  meta[2] != out_meta[2] || meta[3] != out_meta[3]))
+      return i;
+  }
+  out_counts[0] = sink.ac_n;
+  out_counts[1] = sink.sn;
+  return n;
+}
+
+// Multithreaded TDELTA batch variant. The temporal predictor chains frames,
+// so slices are NOT independent: each worker first decodes the frame BEFORE
+// its slice into its predictor state (TDeltaSeedSink — decode only, no
+// emission; one extra Huffman decode per worker), then encodes its slice's
+// deltas exactly as the serial sink would. Stitching bridges the single
+// stream's position gaps with escapes/fillers like the split stitcher; the
+// decoded output is bitwise-identical to the serial variant's.
+//
+// Same return protocol as the serial variant; n_threads <= 1 or tiny
+// batches short-circuit to it.
+int vbs_mjpeg_batch_y_coeffs_tdelta_mt(
+    const uint8_t* data, const int64_t* offsets, const int32_t* sizes, int n,
+    uint8_t* out_ac, int64_t ac_cap, uint16_t* out_sgaps,
+    int16_t* out_sdeltas, int64_t scap, int64_t* out_counts,
+    int blocks_per_frame, int* out_meta, uint16_t* out_qtable, int zmax,
+    int n_threads) {
+  if (zmax < 2 || zmax > 64) zmax = 64;
+  const int nslots = zmax;
+  if (n_threads > n - 1) n_threads = n - 1;
+  if (n_threads > 64) n_threads = 64;
+  if (n_threads <= 1 || n < 4)
+    return vbs_mjpeg_batch_y_coeffs_tdelta(data, offsets, sizes, n, out_ac,
+                                           ac_cap, out_sgaps, out_sdeltas,
+                                           scap, out_counts, blocks_per_frame,
+                                           out_meta, out_qtable, zmax);
+
+  // Frame 0 decodes serially into the caller's buffers: it establishes the
+  // geometry contract the workers validate against.
+  std::vector<int16_t> prev0(static_cast<size_t>(blocks_per_frame) * 64, 0);
+  std::vector<uint64_t> pmask0(static_cast<size_t>(blocks_per_frame), 0);
+  TDeltaSink sink{out_ac, ac_cap, 0, out_sgaps, out_sdeltas, scap, 0};
+  sink.nslots = nslots;
+  sink.prev = prev0.data();
+  sink.prev_mask = pmask0.data();
+  {
+    std::vector<int16_t> stage;
+    std::vector<uint64_t> stage_mask;
+    sink.frame_block_base = 0;
+    const int rc = decode_y(data + offsets[0], sizes[0], sink,
+                            blocks_per_frame, out_meta, out_qtable, &stage,
+                            &stage_mask);
+    if (rc == kErrAcCap || rc == kErrAcSpillCap) return rc;
+    if (rc != 0) return 0;
+  }
+
+  struct Slice {
+    int a = 0, b = 0;  // global frame range [a, b)
+    TDeltaVecSink sink;
+    int fail = -1;
+  };
+  std::vector<Slice> slices(n_threads);
+  const int rest = n - 1;
+  for (int t = 0; t < n_threads; ++t) {
+    slices[t].a = 1 + static_cast<int>(static_cast<int64_t>(rest) * t /
+                                       n_threads);
+    slices[t].b = 1 + static_cast<int>(static_cast<int64_t>(rest) * (t + 1) /
+                                       n_threads);
+  }
+
+  const int64_t bpf = blocks_per_frame;
+  std::vector<std::thread> workers;
+  workers.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) {
+    Slice* s = &slices[t];
+    workers.emplace_back([=]() {
+      if (s->a >= s->b) return;
+      int meta_l[4];
+      uint16_t qt_l[64];
+      std::vector<int16_t> stage;
+      std::vector<uint64_t> stage_mask;
+      s->sink.nslots = nslots;
+      s->sink.prev.assign(static_cast<size_t>(bpf) * 64, 0);
+      s->sink.prev_mask.assign(static_cast<size_t>(bpf), 0);
+      // Seed the temporal predictor: decode frame a-1 without emitting.
+      // (Worker 0's seed is frame 0, re-decoded here — cheaper than
+      // sharing prev0 across threads and identical by determinism.)
+      {
+        TDeltaSeedSink seed{s->sink.prev.data(), s->sink.prev_mask.data(),
+                            nslots};
+        const int rc = decode_y(data + offsets[s->a - 1], sizes[s->a - 1],
+                                seed, static_cast<int>(bpf), meta_l, qt_l,
+                                &stage, &stage_mask);
+        if (rc != 0) {
+          s->fail = s->a - 1;
+          return;
+        }
+      }
+      s->sink.prev_pos = static_cast<int64_t>(s->a) * bpf * nslots - 1;
+      s->sink.sprev = s->sink.prev_pos;
+      s->sink.ac.reserve(static_cast<size_t>(s->b - s->a) * bpf / 2);
+      for (int i = s->a; i < s->b; ++i) {
+        s->sink.frame_block_base = static_cast<int64_t>(i) * bpf;
+        const int rc = decode_y(data + offsets[i], sizes[i], s->sink,
+                                static_cast<int>(bpf), meta_l,
+                                out_qtable + static_cast<size_t>(i) * 64,
+                                &stage, &stage_mask);
+        if (rc != 0 || meta_l[0] != out_meta[0] || meta_l[1] != out_meta[1] ||
+            meta_l[2] != out_meta[2] || meta_l[3] != out_meta[3]) {
+          s->fail = i;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  for (const auto& s : slices)
+    if (s.fail >= 0) return s.fail;  // slices are ordered: first failure
+
+  // Stitch: bridge position gaps between slices with escapes (2-byte form
+  // for long runs), then memcpy the slice's bytes verbatim; re-base each
+  // spill slice's first gap (positions are cumulative).
+  int64_t ac_n = sink.ac_n, sn = sink.sn;
+  int64_t prev_pos = sink.prev_pos, sprev = sink.sprev;
+  for (auto& s : slices) {
+    const int64_t base_pos = static_cast<int64_t>(s.a) * bpf * nslots - 1;
+    if (!s.sink.ac.empty()) {
+      int64_t bridge = base_pos - prev_pos;  // >= 0
+      while (bridge >= nslots) {
+        int64_t k = bridge / nslots;
+        if (k <= 7) {
+          if (ac_n >= ac_cap) return kErrAcCap;
+          out_ac[ac_n++] = static_cast<uint8_t>((k - 1) | 0x80);
+        } else {
+          if (k > 263) k = 263;
+          if (ac_n + 2 > ac_cap) return kErrAcCap;
+          out_ac[ac_n++] = static_cast<uint8_t>(7 | 0x80);
+          out_ac[ac_n++] = static_cast<uint8_t>(k - 8);
+        }
+        bridge -= k * nslots;
+      }
+      while (bridge > 0) {
+        const int64_t g = bridge > 8 ? 8 : bridge;
+        if (ac_n >= ac_cap) return kErrAcCap;
+        out_ac[ac_n++] = static_cast<uint8_t>(g - 1);  // value 0
+        bridge -= g;
+      }
+      if (ac_n + static_cast<int64_t>(s.sink.ac.size()) > ac_cap)
+        return kErrAcCap;
+      std::memcpy(out_ac + ac_n, s.sink.ac.data(), s.sink.ac.size());
+      ac_n += static_cast<int64_t>(s.sink.ac.size());
+      prev_pos = s.sink.prev_pos;
+    }
+    if (!s.sink.sgaps.empty()) {
+      int64_t g = static_cast<int64_t>(s.sink.sgaps[0]) + (base_pos - sprev);
+      while (g > 65535) {
+        if (sn >= scap) return kErrAcSpillCap;
+        out_sgaps[sn] = 65535;
+        out_sdeltas[sn] = 0;
+        ++sn;
+        g -= 65535;
+      }
+      const int64_t cnt = static_cast<int64_t>(s.sink.sgaps.size());
+      if (sn + cnt > scap) return kErrAcSpillCap;
+      out_sgaps[sn] = static_cast<uint16_t>(g);
+      out_sdeltas[sn] = s.sink.sdeltas[0];
+      ++sn;
+      std::memcpy(out_sgaps + sn, s.sink.sgaps.data() + 1,
+                  (cnt - 1) * sizeof(uint16_t));
+      std::memcpy(out_sdeltas + sn, s.sink.sdeltas.data() + 1,
+                  (cnt - 1) * sizeof(int16_t));
+      sn += cnt - 1;
+      sprev = s.sink.sprev;
+    }
+  }
+  out_counts[0] = ac_n;
+  out_counts[1] = sn;
   return n;
 }
 

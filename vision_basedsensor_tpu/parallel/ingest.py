@@ -56,15 +56,20 @@ class ShardedPackedFeed:
     def __init__(self, mesh: Mesh, decoder=None, transport: str = "split",
                  zmax: int = 64):
         """``transport``: ``split`` (default — DC/AC separated streams,
-        fewest bytes per device link) or ``packed`` (2-byte delta pairs);
-        see :class:`~vision_basedsensor_tpu.ops.jpeg.MjpegBatchDecoder`.
-        ``zmax`` (split only): zigzag band limit — 64 exact, lower the
+        scene-independent bytes per device link), ``tdelta`` (temporal
+        coefficient deltas — fewest bytes on slow scenes; each shard's
+        slice is self-contained, its first frame shipping absolute), or
+        ``packed`` (2-byte delta pairs); see
+        :class:`~vision_basedsensor_tpu.ops.jpeg.MjpegBatchDecoder`.
+        ``zmax`` (split/tdelta): zigzag band limit — 64 exact, lower the
         detect-grade profile (ops/jpeg.py header)."""
         from vision_basedsensor_tpu.ops.jpeg import MjpegBatchDecoder
-        if transport not in ("split", "packed"):
-            raise ValueError(f"transport must be split|packed, got {transport}")
-        if zmax != 64 and transport != "split":
-            raise ValueError("zmax band limit requires transport='split'")
+        if transport not in ("tdelta", "split", "packed"):
+            raise ValueError(
+                f"transport must be tdelta|split|packed, got {transport}")
+        if zmax != 64 and transport not in ("split", "tdelta"):
+            raise ValueError(
+                "zmax band limit requires transport='split'|'tdelta'")
         self.mesh = mesh
         self._dec = decoder if decoder is not None else MjpegBatchDecoder()
         self._transport = transport
@@ -88,9 +93,11 @@ class ShardedPackedFeed:
             raise ValueError(f"batch of {n} frames does not divide the data "
                              f"axis ({d}); pad the final chunk")
         per = n // d
-        if self._transport == "split":
-            dec = functools.partial(self._dec.entropy_decode_split,
-                                    zmax=self._zmax)
+        if self._transport in ("split", "tdelta"):
+            dec = functools.partial(
+                {"split": self._dec.entropy_decode_split,
+                 "tdelta": self._dec.entropy_decode_tdelta}[self._transport],
+                zmax=self._zmax)
         else:
             dec = self._dec.entropy_decode_packed
         shards = [dec(jpegs[i * per:(i + 1) * per]) for i in range(d)]
@@ -105,6 +112,18 @@ class ShardedPackedFeed:
 
         # Uniform stream lengths across shards (shard_map blocks must be
         # equal): pad every shard to the max bucket with tail fillers.
+        if self._transport == "tdelta":
+            a_cap = max(s.ac.size for s in shards)
+            s_cap = max(s.sgaps.size for s in shards)
+            expand = self._expand_for(h, w, grid)
+            return expand(
+                put(np.stack([_pad_stream(s.ac, a_cap, 0x86)
+                              for s in shards])),
+                put(np.stack([_pad_stream(s.sgaps, s_cap, 0)
+                              for s in shards])),
+                put(np.stack([_pad_stream(s.sdeltas, s_cap, 0)
+                              for s in shards])),
+                put(qtables))
         if self._transport == "split":
             a_cap = max(s.ac.size for s in shards)
             s_cap = max(s.sgaps.size for s in shards)
@@ -137,13 +156,22 @@ class ShardedPackedFeed:
         key = (self._transport, h, w, grid, self._zmax)
         if key not in self._expand_cache:
             from vision_basedsensor_tpu.ops.jpeg import (delta_idct_frames,
-                                                         split_idct_frames)
+                                                         split_idct_frames,
+                                                         tdelta_idct_frames)
             from vision_basedsensor_tpu.parallel.mesh import _frame_spec
 
             mesh = self.mesh
             out_spec = _frame_spec(mesh)
 
-            if self._transport == "split":
+            if self._transport == "tdelta":
+                def _local(ac, sg, sd, q):
+                    # Local blocks are (1, cap) / (1, per, 64): one shard,
+                    # whose slice is a self-contained tdelta batch.
+                    return tdelta_idct_frames(ac[0], sg[0], sd[0], q[0],
+                                              height=h, width=w, grid=grid,
+                                              zmax=self._zmax)
+                n_in = 4
+            elif self._transport == "split":
                 def _local(ac, dc, sg, sd, dg, dd, q):
                     # Local blocks are (1, cap) / (1, per, 64): one shard.
                     return split_idct_frames(ac[0], dc[0], sg[0], sd[0],
