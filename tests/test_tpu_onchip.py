@@ -33,7 +33,12 @@ def _tpu_or_skip():
 # resolver routes other widths to the XLA fallback by design.
 _SWEEP = [
     (480, 640, "low-res profile (reference nominal)"),
-    (488, 640, "low-res, rows % 64 != 0"),
+    # 472, not 488: rows must stay <= low_res_max_rows=480, or the detector
+    # faithfully switches to the HIGH-RES profile (marker_detection.py:117)
+    # whose constants expect ~960p-scale markers and genuinely detect only
+    # ~20/65 on a 480p-scale scene — on EVERY backend, not a Mosaic issue
+    # (the first on-chip run of this sweep caught exactly that).
+    (472, 640, "low-res, rows % 64 != 0"),
     (960, 1280, "high-res profile (reference >480p constants)"),
     (968, 1280, "high-res, rows % 64 != 0"),
     (1080, 1920, "true 1080p (round-4 Mosaic lowering bug shape)"),
