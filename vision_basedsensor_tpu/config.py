@@ -118,9 +118,12 @@ class DetectConfig:
     # Compute the paired-window moment sums via the MXU raw-moment basis
     # (two fixed-basis matmuls per integrand channel + per-window binomial
     # shift, ops/moments.py:moments_from_patches_paired_mxu) instead of the
-    # fused VPU reductions. Experimental A/B flag (VERDICT round-4 next 7);
-    # only affects the paired-window fast path.
-    moment_mxu_basis: bool = False
+    # fused VPU reductions. Measured e2e at B=1024 on the v5e: full detect
+    # 91.6 -> 83.8 us/frame (benchmarks/README.md round 5) — the moment
+    # reductions were vector-issue-bound and the MXU runs them beside the
+    # VPU pipeline. False restores the fused-reduction backend (bit-level
+    # parity is pinned between the two either way).
+    moment_mxu_basis: bool = True
 
 
 @dataclass(frozen=True)
